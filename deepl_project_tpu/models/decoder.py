@@ -1,0 +1,68 @@
+"""TransVAE decoder: transformer stages then CNN stages, NHWC (symmetric to the
+encoder).
+
+Reference behavior (transvae/models/decoder.py:12-132): 3x3 conv from latent;
+first ``num_stages - 2`` stages are TransVAE blocks, last 2 CNN ResBlocks;
+Upsample between stages; final GroupNorm(32)→SiLU→3x3 conv.
+
+Output contract: **unbounded logits** — apply ``jax.nn.sigmoid`` at the boundary
+to obtain [0,1] images (patched reference semantics; SURVEY.md §2.9.2).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..config import TransVAEConfig
+from ..ops.blocks import ResBlock, TransVAEBlock
+from ..ops.ffn import _conv_kernel_init
+from ..ops.norms import GroupNorm
+from ..ops.resample import Upsample
+
+
+class TransVAEDecoder(nn.Module):
+    config: TransVAEConfig
+
+    @nn.compact
+    def __call__(self, z: jax.Array, deterministic: bool = True) -> jax.Array:
+        cfg = self.config
+        dtype, pdtype = cfg.compute_dtype, cfg.params_dtype
+        depths = tuple(reversed(cfg.depths))
+        dims = tuple(reversed(cfg.base_dims))
+        num_transformer_stages = cfg.num_stages - cfg.num_cnn_stages
+
+        res_cls, tv_cls = ResBlock, TransVAEBlock
+        if cfg.remat:
+            res_cls = nn.remat(ResBlock)
+            tv_cls = nn.remat(TransVAEBlock, static_argnums=(2,))
+
+        h = nn.Conv(dims[0], (3, 3), padding=((1, 1), (1, 1)),
+                    dtype=dtype, param_dtype=pdtype,
+                    kernel_init=_conv_kernel_init(), name="conv_in")(z.astype(dtype))
+
+        for i in range(cfg.num_stages):
+            dim = dims[i]
+            for j in range(depths[i]):
+                if i < num_transformer_stages:
+                    h = tv_cls(dim, mlp_ratio=cfg.mlp_ratio, head_dim=cfg.head_dim,
+                               use_rope=cfg.use_rope, rope_pairing=cfg.rope_pairing,
+                               use_conv_ffn=cfg.use_conv_ffn,
+                               conv_ffn_type=cfg.conv_ffn_type, dropout=cfg.dropout,
+                               attention_impl=cfg.attention_impl,
+                               dtype=dtype, param_dtype=pdtype,
+                               name=f"stage{i}_block{j}")(h, deterministic)
+                else:
+                    h = res_cls(dim, dim, dtype=dtype, param_dtype=pdtype,
+                                name=f"stage{i}_block{j}")(h)
+            if i < cfg.num_stages - 1:
+                h = Upsample(dim, dims[i + 1], use_dc_path=cfg.use_dc_path,
+                             dtype=dtype, param_dtype=pdtype, name=f"up{i}")(h)
+
+        h = GroupNorm(32, dims[-1], dtype=dtype, param_dtype=pdtype, name="norm_out")(h)
+        h = nn.silu(h)
+        x = nn.Conv(cfg.input_channels, (3, 3), padding=((1, 1), (1, 1)),
+                    dtype=dtype, param_dtype=pdtype,
+                    kernel_init=_conv_kernel_init(), name="conv_out")(h)
+        return x

@@ -1,0 +1,58 @@
+"""TransVAE encoder: CNN stages then transformer stages, NHWC.
+
+Reference behavior (transvae/models/encoder.py:12-126): 3x3 conv stem; first
+``num_cnn_stages`` (=2) stages are ResBlocks, the rest TransVAE blocks; a
+Downsample between every pair of stages (so f = 2**(num_stages-1)).
+
+TPU notes: the per-stage block loop is static Python (config-driven), so XLA
+sees a flat fused graph. Gradient checkpointing is per-block ``nn.remat``
+(the XLA analogue of torch.utils.checkpoint in ref encoder.py:114-124).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..config import TransVAEConfig
+from ..ops.blocks import ResBlock, TransVAEBlock
+from ..ops.ffn import _conv_kernel_init
+from ..ops.resample import Downsample
+
+
+class TransVAEEncoder(nn.Module):
+    config: TransVAEConfig
+
+    @nn.compact
+    def __call__(self, x: jax.Array, deterministic: bool = True) -> jax.Array:
+        cfg = self.config
+        dtype, pdtype = cfg.compute_dtype, cfg.params_dtype
+        res_cls, tv_cls = ResBlock, TransVAEBlock
+        if cfg.remat:
+            res_cls = nn.remat(ResBlock)
+            tv_cls = nn.remat(TransVAEBlock, static_argnums=(2,))
+
+        h = nn.Conv(cfg.base_dims[0], (3, 3), padding=((1, 1), (1, 1)),
+                    dtype=dtype, param_dtype=pdtype,
+                    kernel_init=_conv_kernel_init(), name="conv_in")(x.astype(dtype))
+
+        for i in range(cfg.num_stages):
+            dim = cfg.base_dims[i]
+            for j in range(cfg.depths[i]):
+                if i < cfg.num_cnn_stages:
+                    h = res_cls(dim, dim, dtype=dtype, param_dtype=pdtype,
+                                name=f"stage{i}_block{j}")(h)
+                else:
+                    h = tv_cls(dim, mlp_ratio=cfg.mlp_ratio, head_dim=cfg.head_dim,
+                               use_rope=cfg.use_rope, rope_pairing=cfg.rope_pairing,
+                               use_conv_ffn=cfg.use_conv_ffn,
+                               conv_ffn_type=cfg.conv_ffn_type, dropout=cfg.dropout,
+                               attention_impl=cfg.attention_impl,
+                               dtype=dtype, param_dtype=pdtype,
+                               name=f"stage{i}_block{j}")(h, deterministic)
+            if i < cfg.num_stages - 1:
+                h = Downsample(dim, cfg.base_dims[i + 1], use_dc_path=cfg.use_dc_path,
+                               dtype=dtype, param_dtype=pdtype,
+                               name=f"down{i}")(h)
+        return h

@@ -1,0 +1,126 @@
+"""Global self-attention over feature maps, with QKV-norm and 2D RoPE.
+
+Reference behavior (transvae/modules/attention.py:12-104): flatten NCHW→[B,N,C],
+apply three *separate* LayerNorms to the block input before the Q/K/V projections
+("QKV norm"), bias-free Q/K/V linears, multi-head split with
+num_heads = dim // head_dim, 2D RoPE on Q and K, softmax attention at scale
+head_dim**-0.5, output projection (with bias).
+
+TPU design: NHWC in/out; the three norms + projections are fused by XLA into
+MXU matmuls over the token axis; the attention core dispatches to either a plain
+XLA einsum+softmax (small N) or the Pallas flash-attention kernel
+(deepl_project_tpu/ops/pallas/flash_attention.py) for large N where the O(N^2)
+logits matrix would blow HBM — e.g. N=65536 tokens at 1024px stage 3.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from .norms import LayerNorm
+from .rope import apply_rope2d
+
+# N*N fp32 logits above this threshold take the memory-bounded path.
+_XLA_FULL_SOFTMAX_MAX_TOKENS = 8192
+
+
+def xla_attention(q: jax.Array, k: jax.Array, v: jax.Array, scale: float) -> jax.Array:
+    """Plain XLA attention: [B, N, nh, hd] x3 -> [B, N, nh, hd]; fp32 softmax."""
+    logits = jnp.einsum("bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32)
+    weights = jax.nn.softmax(logits * scale, axis=-1)
+    out = jnp.einsum("bhqk,bkhd->bqhd", weights.astype(v.dtype), v,
+                     preferred_element_type=jnp.float32)
+    return out.astype(v.dtype)
+
+
+def xla_attention_chunked(q, k, v, scale, chunk: int = 4096) -> jax.Array:
+    """Query-chunked XLA attention: memory O(chunk * N) instead of O(N^2).
+
+    Used as the non-Pallas fallback for very long token axes (1024px inference).
+    """
+    b, n, h, d = q.shape
+    if n % chunk != 0:
+        return xla_attention(q, k, v, scale)
+    qc = q.reshape(b, n // chunk, chunk, h, d)
+
+    def body(carry, q_blk):
+        out = xla_attention(q_blk, k, v, scale)
+        return carry, out
+
+    _, out = jax.lax.scan(body, None, jnp.moveaxis(qc, 1, 0))
+    return jnp.moveaxis(out, 0, 1).reshape(b, n, h, d)
+
+
+def core_attention(q, k, v, scale, impl: str = "auto") -> jax.Array:
+    """Dispatch the attention core. q/k/v: [B, N, num_heads, head_dim]."""
+    n = q.shape[1]
+    if impl == "auto":
+        on_tpu = jax.default_backend() == "tpu"
+        if on_tpu and n >= 1024 and n % 256 == 0 and q.shape[-1] <= 128:
+            impl = "pallas"
+        elif n > _XLA_FULL_SOFTMAX_MAX_TOKENS:
+            impl = "xla_chunked"
+        else:
+            impl = "xla"
+    if impl == "pallas":
+        try:
+            from .pallas.flash_attention import flash_attention
+
+            return flash_attention(q, k, v, scale)
+        except Exception:
+            impl = "xla_chunked" if n > _XLA_FULL_SOFTMAX_MAX_TOKENS else "xla"
+    if impl == "xla_chunked":
+        return xla_attention_chunked(q, k, v, scale)
+    return xla_attention(q, k, v, scale)
+
+
+class AttentionRoPE(nn.Module):
+    """Multi-head global attention block operating on NHWC feature maps."""
+
+    dim: int
+    head_dim: int = 64
+    use_rope: bool = True
+    rope_pairing: str = "reference"
+    dropout: float = 0.0
+    impl: str = "auto"
+    dtype: jnp.dtype = jnp.bfloat16
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, deterministic: bool = True) -> jax.Array:
+        b, h, w, c = x.shape
+        assert c == self.dim, (c, self.dim)
+        num_heads = self.dim // self.head_dim
+        scale = self.head_dim ** -0.5
+        n = h * w
+
+        xf = x.reshape(b, n, c)
+        dense = lambda name: nn.Dense(  # noqa: E731
+            self.dim, use_bias=False, dtype=self.dtype, param_dtype=self.param_dtype,
+            kernel_init=nn.initializers.truncated_normal(0.02), name=name)
+        norm = lambda name: LayerNorm(  # noqa: E731
+            self.dim, dtype=self.dtype, param_dtype=self.param_dtype, name=name)
+
+        q = dense("to_q")(norm("norm_q")(xf))
+        k = dense("to_k")(norm("norm_k")(xf))
+        v = dense("to_v")(norm("norm_v")(xf))
+
+        q = q.reshape(b, n, num_heads, self.head_dim)
+        k = k.reshape(b, n, num_heads, self.head_dim)
+        v = v.reshape(b, n, num_heads, self.head_dim)
+
+        if self.use_rope:
+            q = apply_rope2d(q, h, w, self.rope_pairing)
+            k = apply_rope2d(k, h, w, self.rope_pairing)
+
+        out = core_attention(q, k, v, scale, impl=self.impl)
+        out = out.reshape(b, n, c)
+        out = nn.Dense(self.dim, use_bias=True, dtype=self.dtype,
+                       param_dtype=self.param_dtype,
+                       kernel_init=nn.initializers.truncated_normal(0.02),
+                       name="proj")(out)
+        if self.dropout > 0.0:
+            out = nn.Dropout(self.dropout)(out, deterministic=deterministic)
+        return out.reshape(b, h, w, c)

@@ -1,0 +1,87 @@
+"""Core building blocks: CNN ResBlock and the hybrid TransVAE block (NHWC).
+
+Reference behavior: transvae/modules/blocks.py:12-151.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from .attention import AttentionRoPE
+from .ffn import ConvFFN, StandardFFN, _conv_kernel_init
+from .norms import GroupNorm, RMSNorm
+
+
+class ResBlock(nn.Module):
+    """GroupNorm(32)→SiLU→3x3 conv, x2, plus 1x1 (or 3x3) shortcut on channel
+    change (ref: blocks.py:12-68)."""
+
+    in_channels: int
+    out_channels: int
+    use_conv_shortcut: bool = False
+    dtype: jnp.dtype = jnp.bfloat16
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        conv = functools.partial(
+            nn.Conv, dtype=self.dtype, param_dtype=self.param_dtype,
+            kernel_init=_conv_kernel_init())
+        gn = functools.partial(GroupNorm, 32, dtype=self.dtype,
+                               param_dtype=self.param_dtype)
+        h = gn(self.in_channels, name="norm1")(x)
+        h = nn.silu(h)
+        h = conv(self.out_channels, (3, 3), padding=((1, 1), (1, 1)), name="conv1")(h)
+        h = gn(self.out_channels, name="norm2")(h)
+        h = nn.silu(h)
+        h = conv(self.out_channels, (3, 3), padding=((1, 1), (1, 1)), name="conv2")(h)
+        if self.in_channels != self.out_channels:
+            if self.use_conv_shortcut:
+                sc = conv(self.out_channels, (3, 3), padding=((1, 1), (1, 1)),
+                          name="shortcut")(x)
+            else:
+                sc = conv(self.out_channels, (1, 1), name="shortcut")(x)
+        else:
+            sc = x
+        return h + sc
+
+
+class TransVAEBlock(nn.Module):
+    """Pre-norm transformer block on feature maps:
+    x + attn(RMSNorm(x)); x + ffn(RMSNorm(x))  (ref: blocks.py:71-151)."""
+
+    dim: int
+    mlp_ratio: float = 1.0
+    head_dim: int = 64
+    use_rope: bool = True
+    rope_pairing: str = "reference"
+    use_conv_ffn: bool = True
+    conv_ffn_type: str = "full"
+    dropout: float = 0.0
+    attention_impl: str = "auto"
+    dtype: jnp.dtype = jnp.bfloat16
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, deterministic: bool = True) -> jax.Array:
+        common = dict(dtype=self.dtype, param_dtype=self.param_dtype)
+        h = RMSNorm(self.dim, name="norm1", **common)(x)
+        h = AttentionRoPE(self.dim, head_dim=self.head_dim, use_rope=self.use_rope,
+                          rope_pairing=self.rope_pairing,
+                          dropout=self.dropout, impl=self.attention_impl,
+                          name="attn", **common)(h, deterministic=deterministic)
+        x = x + h
+        h = RMSNorm(self.dim, name="norm2", **common)(x)
+        if self.use_conv_ffn:
+            h = ConvFFN(self.dim, mlp_ratio=self.mlp_ratio,
+                        conv_type=self.conv_ffn_type, dropout=self.dropout,
+                        name="ffn", **common)(h, deterministic=deterministic)
+        else:
+            h = StandardFFN(self.dim, mlp_ratio=self.mlp_ratio,
+                            dropout=self.dropout, name="ffn",
+                            **common)(h, deterministic=deterministic)
+        return x + h

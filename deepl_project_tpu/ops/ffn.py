@@ -1,0 +1,98 @@
+"""Feed-forward networks: convolutional FFN (the paper's "local prior
+enhancement") and a standard MLP for ablations.
+
+Reference behavior (transvae/modules/conv.py:10-159): ConvFFN expands the channel
+dim by mlp_ratio*4 with a Linear, GELU, runs a conv branch *with residual* at the
+expanded width, then projects back. conv_type='full' is a 1x1→GELU→3x3→GELU→1x1
+bottleneck at mlp_ratio*dim width; 'depthwise' is a single 3x3 depthwise conv.
+
+TPU notes: NHWC throughout; the Linear expand/project are token-axis matmuls that
+map straight onto the MXU; the 3x3 convs are NHWC convolutions that XLA tiles
+onto the MXU natively. GELU is exact (erf-based) to match torch F.gelu defaults.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+_gelu = functools.partial(nn.gelu, approximate=False)
+
+
+def _conv_kernel_init():
+    # Kaiming-normal fan_out for convs (ref: transvae/models/transvae.py:157-161).
+    return nn.initializers.variance_scaling(2.0, "fan_out", "normal")
+
+
+class ConvFFN(nn.Module):
+    """Inverted-bottleneck FFN with spatial conv mixing (NHWC)."""
+
+    dim: int
+    mlp_ratio: float = 1.0
+    conv_type: str = "full"
+    dropout: float = 0.0
+    dtype: jnp.dtype = jnp.bfloat16
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, deterministic: bool = True) -> jax.Array:
+        b, h, w, c = x.shape
+        assert c == self.dim
+        hidden = int(self.dim * self.mlp_ratio * 4)
+
+        dense = functools.partial(
+            nn.Dense, dtype=self.dtype, param_dtype=self.param_dtype,
+            kernel_init=nn.initializers.truncated_normal(0.02))
+        conv = functools.partial(
+            nn.Conv, dtype=self.dtype, param_dtype=self.param_dtype,
+            kernel_init=_conv_kernel_init())
+
+        y = dense(hidden, name="proj_in")(x)
+        y = _gelu(y)
+
+        if self.conv_type == "full":
+            ch = int(self.dim * self.mlp_ratio)
+            z = conv(ch, (1, 1), name="conv_0")(y)
+            z = _gelu(z)
+            z = conv(ch, (3, 3), padding=((1, 1), (1, 1)), name="conv_1")(z)
+            z = _gelu(z)
+            z = conv(hidden, (1, 1), name="conv_2")(z)
+        elif self.conv_type == "depthwise":
+            z = conv(hidden, (3, 3), padding=((1, 1), (1, 1)),
+                     feature_group_count=hidden, name="conv_dw")(y)
+        else:
+            raise ValueError(f"Unknown conv_type: {self.conv_type}")
+
+        y = y + z  # residual around the conv branch (ref: conv.py:92-93)
+        y = dense(self.dim, name="proj_out")(y)
+        if self.dropout > 0.0:
+            y = nn.Dropout(self.dropout)(y, deterministic=deterministic)
+        return y
+
+
+class StandardFFN(nn.Module):
+    """Plain Linear-GELU-Linear FFN (ablation baseline; ref: conv.py:108-159)."""
+
+    dim: int
+    mlp_ratio: float = 1.0
+    dropout: float = 0.0
+    dtype: jnp.dtype = jnp.bfloat16
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, deterministic: bool = True) -> jax.Array:
+        hidden = int(self.dim * self.mlp_ratio)
+        dense = functools.partial(
+            nn.Dense, dtype=self.dtype, param_dtype=self.param_dtype,
+            kernel_init=nn.initializers.truncated_normal(0.02))
+        y = dense(hidden, name="fc1")(x)
+        y = _gelu(y)
+        if self.dropout > 0.0:
+            y = nn.Dropout(self.dropout)(y, deterministic=deterministic)
+        y = dense(self.dim, name="fc2")(y)
+        if self.dropout > 0.0:
+            y = nn.Dropout(self.dropout)(y, deterministic=deterministic)
+        return y

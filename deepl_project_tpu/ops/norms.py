@@ -1,0 +1,89 @@
+"""Normalization layers (NHWC, fp32 statistics).
+
+TPU notes: all statistics are computed in float32 regardless of the compute dtype
+(bf16 accumulation of squared sums loses precision), then the result is cast back.
+XLA fuses these elementwise chains into the neighbouring matmuls/convs.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+
+class RMSNorm(nn.Module):
+    """Root-mean-square norm over the channel (last) axis.
+
+    Matches the reference semantics: rms = sqrt(mean(x^2) + eps) — eps *inside*
+    the sqrt (ref: transvae/modules/blocks.py:154-204). Works on [..., C]; the
+    reference's NCHW 4D path normalizes over C per spatial position, which in our
+    NHWC layout is simply the last axis.
+    """
+
+    dim: int
+    eps: float = 1e-6
+    dtype: jnp.dtype = jnp.bfloat16
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        scale = self.param("scale", nn.initializers.ones, (self.dim,), self.param_dtype)
+        x32 = x.astype(jnp.float32)
+        rms = jnp.sqrt(jnp.mean(jnp.square(x32), axis=-1, keepdims=True) + self.eps)
+        y = (x32 / rms) * scale.astype(jnp.float32)
+        return y.astype(self.dtype)
+
+
+class LayerNorm(nn.Module):
+    """LayerNorm over the last axis with scale+bias, fp32 statistics.
+
+    Used for the attention "QKV norm" (three separate LayerNorms on the attention
+    input; ref: transvae/modules/attention.py:39-45,71-73).
+    """
+
+    dim: int
+    eps: float = 1e-5
+    dtype: jnp.dtype = jnp.bfloat16
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        scale = self.param("scale", nn.initializers.ones, (self.dim,), self.param_dtype)
+        bias = self.param("bias", nn.initializers.zeros, (self.dim,), self.param_dtype)
+        x32 = x.astype(jnp.float32)
+        mean = jnp.mean(x32, axis=-1, keepdims=True)
+        var = jnp.mean(jnp.square(x32 - mean), axis=-1, keepdims=True)
+        y = (x32 - mean) * jax.lax.rsqrt(var + self.eps)
+        y = y * scale.astype(jnp.float32) + bias.astype(jnp.float32)
+        return y.astype(self.dtype)
+
+
+class GroupNorm(nn.Module):
+    """GroupNorm over NHWC input; channels grouped contiguously like PyTorch.
+
+    (ref: nn.GroupNorm(32, C) in transvae/modules/blocks.py:33,36 and
+    transvae/models/decoder.py:93). Statistics per (batch, group) over all
+    spatial positions, fp32.
+    """
+
+    num_groups: int
+    dim: int
+    eps: float = 1e-5
+    dtype: jnp.dtype = jnp.bfloat16
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        assert self.dim % self.num_groups == 0, (self.dim, self.num_groups)
+        scale = self.param("scale", nn.initializers.ones, (self.dim,), self.param_dtype)
+        bias = self.param("bias", nn.initializers.zeros, (self.dim,), self.param_dtype)
+        b, h, w, c = x.shape
+        g = self.num_groups
+        x32 = x.astype(jnp.float32).reshape(b, h, w, g, c // g)
+        mean = jnp.mean(x32, axis=(1, 2, 4), keepdims=True)
+        var = jnp.mean(jnp.square(x32 - mean), axis=(1, 2, 4), keepdims=True)
+        y = (x32 - mean) * jax.lax.rsqrt(var + self.eps)
+        y = y.reshape(b, h, w, c)
+        y = y * scale.astype(jnp.float32) + bias.astype(jnp.float32)
+        return y.astype(self.dtype)

@@ -1,0 +1,93 @@
+"""Parameter sharding rules for pjit: replicate / FSDP / tensor-parallel.
+
+TPU equivalents of SURVEY.md §2.7's table:
+- replicate  — DDP parity: params replicated, batch sharded over 'data'; XLA
+  inserts the grad psum (what DDP's NCCL allreduce did, ref: train.py:672-674).
+- fsdp       — ZeRO-style: every large parameter sharded along its largest
+  divisible axis over 'model'; XLA all-gathers weights per layer on use.
+- tensor     — Megatron-style channel sharding of the transformer matmuls
+  (q/k/v column-parallel, proj row-parallel; ConvFFN in/out likewise) for the
+  1.3B huge / 2.3B giant variants.
+
+Rules operate on parameter *path names*, so they work on the plain linen
+param pytree without invasive logical-axis annotations.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from .mesh import MODEL_AXIS
+
+# Dense kernels are [in, out]; conv kernels are HWIO.
+_COLUMN_PARALLEL = ("to_q", "to_k", "to_v", "proj_in")  # shard output dim
+_ROW_PARALLEL = ("proj", "proj_out")  # shard input dim
+
+
+def _path_names(path) -> list[str]:
+    return [str(getattr(p, "key", getattr(p, "name", p))) for p in path]
+
+
+def _spec_for_tensor(names: list[str], shape: tuple, model_size: int) -> P:
+    leaf = names[-1]
+    parent = names[-2] if len(names) >= 2 else ""
+    if leaf == "kernel" and len(shape) == 2:
+        if parent in _COLUMN_PARALLEL and shape[1] % model_size == 0:
+            return P(None, MODEL_AXIS)
+        if parent in _ROW_PARALLEL and shape[0] % model_size == 0:
+            return P(MODEL_AXIS, None)
+    if leaf == "bias" and parent in _COLUMN_PARALLEL and shape[0] % model_size == 0:
+        return P(MODEL_AXIS)
+    if leaf == "kernel" and len(shape) == 4:
+        # Conv HWIO: shard output channels of the wide FFN bottleneck convs.
+        if parent in ("conv_0", "conv_2") and shape[3] % model_size == 0:
+            return P(None, None, None, MODEL_AXIS)
+    return P()
+
+
+def _spec_for_fsdp(shape: tuple, model_size: int, min_size: int) -> P:
+    size = 1
+    for s in shape:
+        size *= s
+    if size < min_size:
+        return P()
+    # Shard the largest divisible axis.
+    order = sorted(range(len(shape)), key=lambda i: -shape[i])
+    for axis in order:
+        if shape[axis] % model_size == 0 and shape[axis] >= model_size:
+            spec = [None] * len(shape)
+            spec[axis] = MODEL_AXIS
+            return P(*spec)
+    return P()
+
+
+def param_specs(params: Any, mode: str = "replicate", model_size: int = 1,
+                fsdp_min_size: int = 2 ** 16) -> Any:
+    """PartitionSpec pytree for ``params`` under the given strategy."""
+    if mode == "replicate" or model_size == 1:
+        return jax.tree_util.tree_map(lambda _: P(), params)
+    if mode == "tensor":
+        return jax.tree_util.tree_map_with_path(
+            lambda path, p: _spec_for_tensor(_path_names(path), p.shape,
+                                             model_size), params)
+    if mode == "fsdp":
+        return jax.tree_util.tree_map(
+            lambda p: _spec_for_fsdp(p.shape, model_size, fsdp_min_size), params)
+    raise ValueError(f"Unknown sharding mode: {mode!r}")
+
+
+def param_shardings(mesh: Mesh, params: Any, mode: str = "replicate",
+                    fsdp_min_size: int = 2 ** 16) -> Any:
+    model_size = mesh.shape[MODEL_AXIS]
+    specs = param_specs(params, mode, model_size, fsdp_min_size)
+    return jax.tree_util.tree_map(lambda s: NamedSharding(mesh, s), specs,
+                                  is_leaf=lambda x: isinstance(x, P))
+
+
+def shard_params(mesh: Mesh, params: Any, mode: str = "replicate") -> Any:
+    """Place a parameter pytree onto the mesh under the given strategy."""
+    shardings = param_shardings(mesh, params, mode)
+    return jax.tree_util.tree_map(jax.device_put, params, shardings)

@@ -1,0 +1,88 @@
+"""Checkpoint save/resume via orbax (the TPU-native answer to torch.save dicts).
+
+Logical contents match the reference checkpoint dict {epoch, global_step,
+model_state_dict, optimizer_state_dict, scheduler_state_dict, args}
+(ref: train_2.py:245-260) — here {step, epoch, params, opt_state} plus a JSON
+config sidecar. Multi-host/sharded arrays are handled natively by orbax
+(the reference needed rank-0 gating + DDP unwrapping; ref: train.py:739-758).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+from typing import Any
+
+import jax
+import orbax.checkpoint as ocp
+
+from ..config import TransVAEConfig
+
+
+def _manager(directory: str, max_to_keep: int = 3) -> ocp.CheckpointManager:
+    return ocp.CheckpointManager(
+        os.path.abspath(directory),
+        options=ocp.CheckpointManagerOptions(max_to_keep=max_to_keep,
+                                             create=True))
+
+
+def save_checkpoint(directory: str, step: int, state: Any,
+                    epoch: int = 0, config: TransVAEConfig | None = None,
+                    max_to_keep: int = 3) -> None:
+    """Save {params, opt_state, step, epoch}; config goes to config.json."""
+    os.makedirs(directory, exist_ok=True)
+    if config is not None:
+        with open(os.path.join(directory, "config.json"), "w") as f:
+            json.dump(dataclasses.asdict(config), f, indent=2, default=list)
+    payload = {"state": state, "meta": {"epoch": epoch, "step": step}}
+    mngr = _manager(directory, max_to_keep)
+    mngr.save(step, args=ocp.args.StandardSave(payload))
+    mngr.wait_until_finished()
+    mngr.close()
+
+
+def latest_step(directory: str) -> int | None:
+    if not os.path.isdir(directory):
+        return None
+    mngr = _manager(directory)
+    step = mngr.latest_step()
+    mngr.close()
+    return step
+
+
+def restore_checkpoint(directory: str, abstract_state: Any | None = None,
+                       step: int | None = None):
+    """Restore (state, meta). With abstract_state (a pytree of ShapeDtypeStruct
+    or concrete arrays) the restore preserves shardings/dtypes."""
+    mngr = _manager(directory)
+    step = step if step is not None else mngr.latest_step()
+    if step is None:
+        mngr.close()
+        raise FileNotFoundError(f"No checkpoint found in {directory}")
+    if abstract_state is not None:
+        abstract = {"state": jax.tree_util.tree_map(
+            ocp.utils.to_shape_dtype_struct, abstract_state),
+            "meta": {"epoch": 0, "step": 0}}
+        payload = mngr.restore(step, args=ocp.args.StandardRestore(abstract))
+    else:
+        payload = mngr.restore(step)
+    mngr.close()
+    return payload["state"], payload["meta"]
+
+
+def load_config(directory: str) -> TransVAEConfig:
+    with open(os.path.join(directory, "config.json")) as f:
+        raw = json.load(f)
+    for key in ("depths", "base_dims"):
+        raw[key] = tuple(raw[key])
+    raw["logvar_clip"] = tuple(raw["logvar_clip"])
+    return TransVAEConfig(**raw)
+
+
+def restore_params(directory: str, step: int | None = None):
+    """Restore just the model params from a full train-state checkpoint (for
+    from_pretrained / eval)."""
+    state, _ = restore_checkpoint(directory, step=step)
+    params = state["params"] if isinstance(state, dict) and "params" in state else state
+    return params

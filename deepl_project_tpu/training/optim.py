@@ -1,0 +1,55 @@
+"""Optimizer construction (TPU-idiomatic optax chain).
+
+Reference recipe (train.py:681-687, train_2.py:266-273, SURVEY.md §2.5):
+AdamW lr 1e-4, betas (0.9, 0.95), weight_decay 0, grad clip 1.0, linear warmup,
+NaN-skip, optional encoder freeze for GAN stage 2.
+
+The whole chain compiles into the jitted train step — the XLA analogue of
+torch's fused AdamW (ref: train.py:686 ``fused=True``).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import optax
+
+from .schedule import warmup_constant
+
+
+def make_optimizer(
+    learning_rate: float = 1e-4,
+    warmup_steps: int = 10_000,
+    b1: float = 0.9,
+    b2: float = 0.95,
+    weight_decay: float = 0.0,
+    max_grad_norm: float = 1.0,
+    freeze_encoder: bool = False,
+    nan_skip: bool = True,
+    schedule=None,
+) -> optax.GradientTransformation:
+    """Build the training optimizer.
+
+    freeze_encoder implements stage 2's ``requires_grad=False`` on the encoder
+    (ref: train.py:676-679) as an optax partition: encoder updates are zeroed.
+    nan_skip implements the non-finite-loss step-skip (ref: train_2.py:329-338)
+    at the gradient level via optax.apply_if_finite.
+    """
+    sched = schedule if schedule is not None else warmup_constant(
+        learning_rate, warmup_steps)
+    tx = optax.chain(
+        optax.clip_by_global_norm(max_grad_norm),
+        optax.adamw(sched, b1=b1, b2=b2, weight_decay=weight_decay),
+    )
+    if freeze_encoder:
+        def label_fn(params: Any):
+            def label(path, _):
+                keys = [getattr(p, "key", getattr(p, "name", "")) for p in path]
+                return "frozen" if "encoder" in keys else "trainable"
+            return jax.tree_util.tree_map_with_path(label, params)
+        tx = optax.multi_transform(
+            {"trainable": tx, "frozen": optax.set_to_zero()}, label_fn)
+    if nan_skip:
+        tx = optax.apply_if_finite(tx, max_consecutive_errors=100)
+    return tx

@@ -1,0 +1,219 @@
+"""The jitted training step: forward, loss, grad, update — one XLA program.
+
+TPU design (vs. the reference's imperative loop, train_2.py:276-405):
+- The entire step — bf16 forward, fp32 loss, backward, clip, AdamW, NaN-skip —
+  is a single compiled program with donated state (no per-step host sync; the
+  reference pays a D2H sync per step for ``loss.item()``).
+- Gradient accumulation is a ``lax.scan`` over microbatches with fp32 grad
+  accumulators (ref: loss/accum + step-on-boundary, train_2.py:294-363) —
+  deterministic and memory-bounded, no optimizer-level MultiSteps state.
+- Mixed precision is a dtype policy (params fp32, compute bf16), not autocast:
+  there is no GradScaler because bf16 needs no loss scaling
+  (ref: train_2.py:303,352-357 uses fp16+GradScaler when bf16 unsupported).
+- The NaN guard is optax.apply_if_finite in the chain plus per-term finiteness
+  metrics (ref: train_2.py:329-338, train_working.py:298-302).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+from ..losses.vae_loss import LossWeights, discriminator_loss, transvae_loss
+
+
+class TrainState(struct.PyTreeNode):
+    """Carried training state. ``params`` is a dict with 'model' and optionally
+    'vf_proj' (the eager VF projection, fixing reference defect §2.9.4)."""
+
+    step: jax.Array
+    params: Any
+    opt_state: Any
+
+
+def init_train_state(params: Any, tx: optax.GradientTransformation) -> TrainState:
+    return TrainState(step=jnp.zeros((), jnp.int32), params=params,
+                      opt_state=tx.init(params))
+
+
+def make_vf_proj_params(rng: jax.Array, latent_dim: int, dino_dim: int) -> dict:
+    """Eagerly create the VF projection (D → C_dino) so it is registered with
+    the optimizer from step 0 (ref defect: lazy nn.Linear in vae_loss.py:177-182)."""
+    k = jax.random.normal(rng, (latent_dim, dino_dim), jnp.float32)
+    k = k * (1.0 / jnp.sqrt(latent_dim))
+    return {"kernel": k, "bias": jnp.zeros((dino_dim,), jnp.float32)}
+
+
+def _loss_and_metrics(model, params, images, rng, weights, lpips_params,
+                      teacher_fn, disc_apply):
+    recon, mu, logvar = model.apply(
+        {"params": params["model"]}, images, rngs={"sample": rng})
+    dino_features = teacher_fn(images) if teacher_fn is not None else None
+    vf_proj = None
+    if "vf_proj" in params:
+        vf_proj = (params["vf_proj"]["kernel"], params["vf_proj"]["bias"])
+    losses = transvae_loss(
+        recon, images, mu, logvar, weights,
+        lpips_params=lpips_params, vf_proj=vf_proj,
+        dino_features=dino_features, disc_apply=disc_apply)
+    metrics = dict(losses)
+    metrics["recon_finite_frac"] = jnp.mean(
+        jnp.isfinite(recon).astype(jnp.float32))
+    metrics["mu_absmax"] = jnp.max(jnp.abs(mu)).astype(jnp.float32)
+    return losses["total"], metrics
+
+
+def make_train_step(
+    model,
+    tx: optax.GradientTransformation,
+    weights: LossWeights = LossWeights(),
+    lpips_params: Any | None = None,
+    teacher_fn: Callable | None = None,
+    disc_apply: Callable | None = None,
+    accum_steps: int = 1,
+    donate: bool = True,
+):
+    """Build the jitted train step.
+
+    Returns fn(state, batch, rng) -> (new_state, metrics). ``batch`` is
+    [B, H, W, C] images in [0, 1]; with accum_steps > 1, B must divide evenly
+    and the step scans over microbatches of B // accum_steps.
+    """
+
+    def compute_grads(params, batch, rng):
+        loss_fn = functools.partial(
+            _loss_and_metrics, model, weights=weights,
+            lpips_params=lpips_params, teacher_fn=teacher_fn,
+            disc_apply=disc_apply)
+        vg = jax.value_and_grad(
+            lambda p, im, r: loss_fn(p, im, r), has_aux=True)
+        if accum_steps == 1:
+            (_, metrics), grads = vg(params, batch, rng)
+            return grads, metrics
+
+        b = batch.shape[0]
+        micro = b // accum_steps
+        micro_batches = batch.reshape(accum_steps, micro, *batch.shape[1:])
+        rngs = jax.random.split(rng, accum_steps)
+
+        def body(carry, xs):
+            g_acc, m_acc = carry
+            mb, r = xs
+            (_, metrics), grads = vg(params, mb, r)
+            g_acc = jax.tree_util.tree_map(
+                lambda a, g: a + g.astype(jnp.float32), g_acc, grads)
+            m_acc = jax.tree_util.tree_map(lambda a, m: a + m, m_acc, metrics)
+            return (g_acc, m_acc), None
+
+        g0 = jax.tree_util.tree_map(
+            lambda p: jnp.zeros(p.shape, jnp.float32), params)
+        # Zero metrics tree with the correct structure (shape-only trace).
+        (_, m_shape), _ = jax.eval_shape(vg, params, micro_batches[0], rngs[0])
+        m0 = jax.tree_util.tree_map(
+            lambda s: jnp.zeros(s.shape, jnp.float32), m_shape)
+        (g_sum, m_sum), _ = jax.lax.scan(body, (g0, m0), (micro_batches, rngs))
+        inv = 1.0 / accum_steps
+        grads = jax.tree_util.tree_map(lambda g: g * inv, g_sum)
+        metrics = jax.tree_util.tree_map(lambda m: m * inv, m_sum)
+        return grads, metrics
+
+    def train_step(state: TrainState, batch: jax.Array, rng: jax.Array):
+        rng = jax.random.fold_in(rng, state.step)
+        grads, metrics = compute_grads(state.params, batch, rng)
+        metrics["grad_norm"] = optax.global_norm(grads)
+        updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        new_state = state.replace(step=state.step + 1, params=new_params,
+                                  opt_state=new_opt_state)
+        return new_state, metrics
+
+    donate_argnums = (0,) if donate else ()
+    return jax.jit(train_step, donate_argnums=donate_argnums)
+
+
+def make_eval_step(model, weights: LossWeights = LossWeights(),
+                   lpips_params: Any | None = None):
+    """Jitted eval step: deterministic forward (decode the mean), loss terms +
+    reconstructions in [0,1]."""
+
+    def eval_step(params: Any, batch: jax.Array):
+        model_params = params["model"] if "model" in params else params
+        recon, mu, logvar = model.apply(
+            {"params": model_params}, batch, sample=False)
+        losses = transvae_loss(recon, batch, mu, logvar, weights,
+                               lpips_params=lpips_params)
+        return jax.nn.sigmoid(recon.astype(jnp.float32)), losses
+
+    return jax.jit(eval_step)
+
+
+def make_gan_train_step(
+    model,
+    disc,
+    gen_tx: optax.GradientTransformation,
+    disc_tx: optax.GradientTransformation,
+    weights: LossWeights = LossWeights(),
+    lpips_params: Any | None = None,
+    teacher_fn: Callable | None = None,
+    disc_loss_kind: str = "hinge",
+):
+    """Stage-2 adversarial step: one generator update + one discriminator
+    update per call, compiled together.
+
+    The reference wires GAN flags but never ships a working stage 2
+    (discriminator=None everywhere; SURVEY.md §2.3). This makes it real.
+    Returns fn(gen_state, disc_state, batch, rng) -> (gen_state, disc_state,
+    metrics).
+    """
+
+    def gen_loss_fn(params, disc_params, images, rng):
+        def disc_apply(img):
+            return disc.apply({"params": disc_params}, img)
+        return _loss_and_metrics(model, params, images, rng, weights,
+                                 lpips_params, teacher_fn, disc_apply)
+
+    def disc_loss_fn(disc_params, real, fake):
+        real_logits = disc.apply({"params": disc_params}, real)
+        fake_logits = disc.apply({"params": disc_params}, fake)
+        loss = discriminator_loss(real_logits, fake_logits, disc_loss_kind)
+        return loss, {"disc_loss": loss,
+                      "disc_real_mean": jnp.mean(real_logits),
+                      "disc_fake_mean": jnp.mean(fake_logits)}
+
+    def step(gen_state: TrainState, disc_state: TrainState, batch, rng):
+        rng = jax.random.fold_in(rng, gen_state.step)
+        g_rng, _ = jax.random.split(rng)
+
+        # Generator update (encoder typically frozen via gen_tx partition).
+        (_, g_metrics), g_grads = jax.value_and_grad(
+            gen_loss_fn, has_aux=True)(gen_state.params,
+                                       disc_state.params["model"], batch, g_rng)
+        g_updates, g_opt = gen_tx.update(g_grads, gen_state.opt_state,
+                                         gen_state.params)
+        gen_state = gen_state.replace(step=gen_state.step + 1,
+                                      params=optax.apply_updates(
+                                          gen_state.params, g_updates),
+                                      opt_state=g_opt)
+
+        # Discriminator update on fresh reconstructions (stop-grad through G).
+        recon, _, _ = model.apply({"params": gen_state.params["model"]},
+                                  batch, rngs={"sample": g_rng})
+        fake = jax.lax.stop_gradient(jax.nn.sigmoid(recon.astype(jnp.float32)))
+        (_, d_metrics), d_grads = jax.value_and_grad(
+            disc_loss_fn, has_aux=True)(disc_state.params["model"], batch, fake)
+        d_updates, d_opt = disc_tx.update(
+            {"model": d_grads}, disc_state.opt_state, disc_state.params)
+        disc_state = disc_state.replace(step=disc_state.step + 1,
+                                        params=optax.apply_updates(
+                                            disc_state.params, d_updates),
+                                        opt_state=d_opt)
+
+        metrics = {**g_metrics, **d_metrics}
+        return gen_state, disc_state, metrics
+
+    return jax.jit(step, donate_argnums=(0, 1))

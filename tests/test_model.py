@@ -1,0 +1,146 @@
+"""Model-layer tests mirroring the reference's test_installation.py six checks
+(SURVEY.md §4.1): construction across variants, forward shape contracts,
+encode/decode round trip, resolution flexibility, gradient-checkpointing
+backward, and f8/f16 compression-ratio contracts.
+
+All at tiny spatial sizes so CPU compiles stay fast; variants beyond tiny are
+constructed with shrunken dims via config overrides where full-size init would
+be slow.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from deepl_project_tpu import (TransVAE, VARIANTS, count_params, create_transvae,
+                               get_config, init_params)
+
+TEST_CFG = dict(dtype="float32", attention_impl="xla")
+
+
+def tiny_model(**kw):
+    cfg = get_config("tiny_f16d32", **{**TEST_CFG, **kw})
+    # Shrink dims for fast CPU tests while keeping the 5-stage architecture.
+    cfg = cfg.replace(depths=(1, 1, 1, 1, 1), base_dims=(32, 32, 64, 64, 128),
+                      latent_dim=8)
+    return TransVAE(cfg)
+
+
+def test_variant_registry_complete():
+    # All six published variants must exist (ref: transvae.py:110-147).
+    for key in ["tiny_f16d32", "base_f16d32", "large_f16d32", "huge_f16d32",
+                "giant_f16d32", "large_f8d16"]:
+        assert key in VARIANTS
+        cfg = get_config(key)
+        assert cfg.compression_ratio == (16 if "f16" in key else 8)
+        assert cfg.latent_dim == (32 if "d32" in key else 16)
+
+
+def test_factory_api():
+    # create_transvae(variant, compression_ratio, latent_dim) parity
+    # (ref: transvae.py:303-326) — config defaults from the registry, fixing
+    # reference defect §2.9.1.
+    m = create_transvae(variant="large", compression_ratio=16, latent_dim=32)
+    assert m.config.depths == (3, 3, 3, 4, 6)
+    m8 = create_transvae(variant="large", compression_ratio=8)
+    assert m8.config.latent_dim == 16
+    with pytest.raises(ValueError):
+        create_transvae(variant="nonexistent")
+
+
+def test_forward_shapes(rng):
+    model = tiny_model()
+    x = jax.random.normal(rng, (2, 32, 32, 3))
+    variables = model.init({"params": rng, "sample": rng}, x)
+    recon, mu, logvar = model.apply(variables, x, rngs={"sample": rng})
+    assert recon.shape == (2, 32, 32, 3)
+    assert mu.shape == (2, 2, 2, 8)
+    assert logvar.shape == (2, 2, 2, 8)
+    assert bool(jnp.all(jnp.isfinite(recon)))
+
+
+def test_encode_decode_roundtrip(rng):
+    model = tiny_model()
+    x = jax.random.normal(rng, (1, 32, 32, 3))
+    variables = model.init({"params": rng, "sample": rng}, x)
+    mu, logvar = model.apply(variables, x, method="encode")
+    assert mu.shape == (1, 2, 2, 8)
+    recon = model.apply(variables, mu, method="decode")
+    assert recon.shape == (1, 32, 32, 3)
+
+
+def test_deterministic_mean_decode(rng):
+    # sample=False decodes the mean — no sample RNG required, fully deterministic.
+    model = tiny_model()
+    x = jax.random.normal(rng, (1, 32, 32, 3))
+    variables = model.init({"params": rng, "sample": rng}, x)
+    r1, *_ = model.apply(variables, x, sample=False)
+    r2, *_ = model.apply(variables, x, sample=False)
+    np.testing.assert_array_equal(r1, r2)
+
+
+@pytest.mark.parametrize("res", [32, 64])
+def test_resolution_flexibility(rng, res):
+    # Same params at multiple resolutions (RoPE extrapolation;
+    # ref: test_installation.py:90-113).
+    model = tiny_model()
+    x32 = jax.random.normal(rng, (1, 32, 32, 3))
+    variables = model.init({"params": rng, "sample": rng}, x32)
+    x = jax.random.normal(rng, (1, res, res, 3))
+    recon, mu, _ = model.apply(variables, x, rngs={"sample": rng})
+    assert recon.shape == (1, res, res, 3)
+    assert mu.shape == (1, res // 16, res // 16, 8)
+
+
+def test_compression_ratios():
+    # f16 = 5 stages, f8 = 4 stages (ref: test_installation.py:144-175).
+    assert get_config("tiny_f16d32").compression_ratio == 16
+    assert get_config("large_f8d16").compression_ratio == 8
+
+
+def test_gradient_checkpointing_backward(rng):
+    # remat model must produce identical outputs and finite grads
+    # (ref: test_installation.py:116-141).
+    model = tiny_model()
+    model_remat = tiny_model(remat=True)
+    x = jax.random.normal(rng, (1, 32, 32, 3))
+    variables = model.init({"params": rng, "sample": rng}, x)
+
+    def loss_fn(params, mdl):
+        recon, mu, logvar = mdl.apply({"params": params}, x,
+                                      rngs={"sample": jax.random.PRNGKey(1)})
+        return jnp.mean(jnp.square(recon)) + jnp.mean(mu ** 2)
+
+    l1, g1 = jax.value_and_grad(loss_fn)(variables["params"], model)
+    l2, g2 = jax.value_and_grad(loss_fn)(variables["params"], model_remat)
+    np.testing.assert_allclose(l1, l2, rtol=1e-5)
+    flat1 = jax.tree_util.tree_leaves(g1)
+    flat2 = jax.tree_util.tree_leaves(g2)
+    for a, b in zip(flat1, flat2):
+        assert bool(jnp.all(jnp.isfinite(a)))
+        np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-5)
+
+
+def test_param_count_tiny_matches_reference_code():
+    # The reference *code* for tiny_f16d32 has exactly 81,887,427 params
+    # (measured by instantiating ref transvae/models/transvae.py:13 in torch;
+    # the paper's Table-3 "44M" disagrees with the reference's own code — we
+    # match the code, which is what checkpoints are shaped by).
+    model = create_transvae("tiny", 16, 32, dtype="float32", attention_impl="xla")
+    params = init_params(model, jax.random.PRNGKey(0), image_size=32)
+    counts = count_params(params)
+    assert counts["total"] == 81_887_427, counts
+    assert counts["encoder"] == 40_721_408, counts
+    assert counts["decoder"] == 40_871_043, counts
+
+
+def test_logvar_clamp_contract(rng):
+    # mu/logvar clamping must hold on the forward path (patched semantics).
+    model = tiny_model()
+    x = 1e3 * jax.random.normal(rng, (1, 32, 32, 3))
+    variables = model.init({"params": rng, "sample": rng}, x)
+    _, mu, logvar = model.apply(variables, x, rngs={"sample": rng})
+    assert float(jnp.max(jnp.abs(mu))) <= 50.0
+    assert float(jnp.max(logvar)) <= 20.0
+    assert float(jnp.min(logvar)) >= -30.0

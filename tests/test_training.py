@@ -1,0 +1,203 @@
+"""Training-runtime tests: train step, grad accumulation, NaN-skip, freeze,
+checkpoint round-trip, and a tiny end-to-end convergence check (the TPU
+analogue of the reference's 'quick verification ladder', EXPERIMENTS.md:408-450).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+from deepl_project_tpu import TransVAE, get_config
+from deepl_project_tpu.losses import LossWeights
+from deepl_project_tpu.training import (TrainState, init_train_state,
+                                        make_eval_step, make_gan_train_step,
+                                        make_optimizer, make_train_step,
+                                        make_vf_proj_params, restore_checkpoint,
+                                        save_checkpoint, warmup_constant)
+from deepl_project_tpu.models.discriminator import PatchDiscriminator
+
+
+def micro_model(**kw):
+    cfg = get_config("tiny_f16d32", dtype="float32", attention_impl="xla", **kw)
+    cfg = cfg.replace(depths=(1, 1, 1), base_dims=(16, 16, 32), latent_dim=4,
+                      head_dim=16)
+    return TransVAE(cfg)
+
+
+@pytest.fixture
+def setup(rng):
+    model = micro_model()
+    x = jax.random.uniform(rng, (4, 16, 16, 3))
+    variables = model.init({"params": rng, "sample": rng}, x)
+    params = {"model": variables["params"]}
+    tx = make_optimizer(learning_rate=1e-3, warmup_steps=0)
+    state = init_train_state(params, tx)
+    return model, tx, state, x
+
+
+def test_train_step_runs_and_updates(setup, rng):
+    model, tx, state, x = setup
+    step = make_train_step(model, tx,
+                           LossWeights(lpips=0.0, kl=1e-6, vf=0.0, gan=0.0),
+                           donate=False)
+    new_state, metrics = step(state, x, rng)
+    assert int(new_state.step) == 1
+    assert float(metrics["total"]) > 0
+    assert float(metrics["grad_norm"]) > 0
+    # Params must actually move.
+    diff = jax.tree_util.tree_map(
+        lambda a, b: float(jnp.max(jnp.abs(a - b))), state.params,
+        new_state.params)
+    assert max(jax.tree_util.tree_leaves(diff)) > 0
+
+
+def test_grad_accumulation_matches_full_batch(setup, rng):
+    model, _, state, x = setup
+    w = LossWeights(lpips=0.0, kl=0.0, vf=0.0, gan=0.0)
+    sgd = optax.sgd(1e-2)
+    st = init_train_state(state.params, sgd)
+    step1 = make_train_step(model, sgd, w, accum_steps=1, donate=False)
+    step4 = make_train_step(model, sgd, w, accum_steps=4, donate=False)
+    s1, m1 = step1(st, x, rng)
+    s4, m4 = step4(st, x, rng)
+    # Same data, same rng stream per microbatch differs — losses must be close
+    # but not identical; grads averaged over microbatches approximate full-batch.
+    assert np.isfinite(float(m4["total"]))
+    # Deterministic path (no sampling noise): compare param movement magnitude.
+    n1 = float(optax.global_norm(jax.tree_util.tree_map(
+        lambda a, b: a - b, s1.params, st.params)))
+    n4 = float(optax.global_norm(jax.tree_util.tree_map(
+        lambda a, b: a - b, s4.params, st.params)))
+    assert n4 == pytest.approx(n1, rel=0.5)
+
+
+def test_nan_skip_guards_step(setup, rng):
+    model, tx, state, _ = setup
+    step = make_train_step(model, tx,
+                           LossWeights(lpips=0.0, kl=0.0, vf=0.0, gan=0.0),
+                           donate=False)
+    bad = jnp.full((4, 16, 16, 3), jnp.nan)
+    new_state, metrics = step(state, bad, rng)
+    # apply_if_finite must leave params untouched on non-finite grads.
+    for a, b in zip(jax.tree_util.tree_leaves(state.params),
+                    jax.tree_util.tree_leaves(new_state.params)):
+        np.testing.assert_array_equal(a, b)
+
+
+def test_freeze_encoder(setup, rng):
+    model, _, state, x = setup
+    tx = make_optimizer(learning_rate=1e-3, warmup_steps=0, freeze_encoder=True)
+    st = init_train_state(state.params, tx)
+    step = make_train_step(model, tx,
+                           LossWeights(lpips=0.0, kl=0.0, vf=0.0, gan=0.0),
+                           donate=False)
+    new_state, _ = step(st, x, rng)
+    # Encoder params unchanged; decoder params moved (stage-2 semantics,
+    # ref: train.py:676-679).
+    for a, b in zip(jax.tree_util.tree_leaves(st.params["model"]["encoder"]),
+                    jax.tree_util.tree_leaves(
+                        new_state.params["model"]["encoder"])):
+        np.testing.assert_array_equal(a, b)
+    dec_moved = jax.tree_util.tree_map(
+        lambda a, b: float(jnp.max(jnp.abs(a - b))),
+        st.params["model"]["decoder"], new_state.params["model"]["decoder"])
+    assert max(jax.tree_util.tree_leaves(dec_moved)) > 0
+
+
+def test_vf_projection_is_trained(rng):
+    model = micro_model()
+    x = jax.random.uniform(rng, (2, 16, 16, 3))
+    variables = model.init({"params": rng, "sample": rng}, x)
+    params = {"model": variables["params"],
+              "vf_proj": make_vf_proj_params(rng, 4, 8)}
+    tx = make_optimizer(learning_rate=1e-2, warmup_steps=0)
+    state = init_train_state(params, tx)
+
+    def teacher(images):  # stub frozen teacher: fixed random features
+        return jnp.ones((images.shape[0], 4, 4, 8))
+
+    step = make_train_step(model, tx,
+                           LossWeights(lpips=0.0, kl=0.0, vf=0.1, gan=0.0),
+                           teacher_fn=teacher, donate=False)
+    new_state, metrics = step(state, x, rng)
+    # The eager projection must be optimized from step 0 (reference defect
+    # §2.9.4 made it invisible to the optimizer).
+    assert float(jnp.max(jnp.abs(new_state.params["vf_proj"]["kernel"] -
+                                 state.params["vf_proj"]["kernel"]))) >= 0
+    assert np.isfinite(float(metrics["vf"]))
+
+
+def test_warmup_schedule():
+    sched = warmup_constant(1e-4, 100)
+    assert float(sched(0)) == 0.0
+    assert float(sched(50)) == pytest.approx(0.5e-4)
+    assert float(sched(100)) == pytest.approx(1e-4)
+    assert float(sched(10_000)) == pytest.approx(1e-4)
+
+
+def test_tiny_convergence(rng):
+    # A micro model must overfit a fixed batch quickly (L1-only): loss halves.
+    model = micro_model()
+    x = jax.random.uniform(rng, (2, 16, 16, 3))
+    variables = model.init({"params": rng, "sample": rng}, x)
+    tx = make_optimizer(learning_rate=3e-3, warmup_steps=0)
+    state = init_train_state({"model": variables["params"]}, tx)
+    step = make_train_step(model, tx,
+                           LossWeights(lpips=0.0, kl=0.0, vf=0.0, gan=0.0),
+                           donate=False)
+    _, m0 = step(state, x, rng)
+    first = float(m0["total"])
+    for _ in range(60):
+        state, metrics = step(state, x, rng)
+    last = float(metrics["total"])
+    assert last < 0.6 * first, (first, last)
+
+
+def test_checkpoint_roundtrip(tmp_path, setup, rng):
+    model, tx, state, x = setup
+    step = make_train_step(model, tx,
+                           LossWeights(lpips=0.0, kl=0.0, vf=0.0, gan=0.0),
+                           donate=False)
+    state, _ = step(state, x, rng)
+    ckpt_dir = str(tmp_path / "ckpt")
+    payload = {"params": state.params, "opt_state": state.opt_state,
+               "step": int(state.step)}
+    save_checkpoint(ckpt_dir, 1, payload, epoch=3, config=model.config)
+    restored, meta = restore_checkpoint(ckpt_dir)
+    assert meta["epoch"] == 3
+    for a, b in zip(jax.tree_util.tree_leaves(state.params),
+                    jax.tree_util.tree_leaves(restored["params"])):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # Config sidecar round-trips.
+    from deepl_project_tpu.training import load_config
+    cfg = load_config(ckpt_dir)
+    assert cfg.depths == model.config.depths
+
+
+def test_gan_train_step(rng):
+    model = micro_model()
+    disc = PatchDiscriminator(base_channels=8, num_layers=2, dtype=jnp.float32)
+    x = jax.random.uniform(rng, (2, 16, 16, 3))
+    mvars = model.init({"params": rng, "sample": rng}, x)
+    dvars = disc.init(rng, x)
+    gen_tx = make_optimizer(1e-3, 0, freeze_encoder=True)
+    disc_tx = make_optimizer(1e-3, 0)
+    gen_state = init_train_state({"model": mvars["params"]}, gen_tx)
+    disc_state = init_train_state({"model": dvars["params"]}, disc_tx)
+    step = make_gan_train_step(
+        model, disc, gen_tx, disc_tx,
+        LossWeights(lpips=0.0, kl=0.0, vf=0.0, gan=0.05))
+    gen_state, disc_state, metrics = step(gen_state, disc_state, x, rng)
+    assert np.isfinite(float(metrics["total"]))
+    assert np.isfinite(float(metrics["disc_loss"]))
+    assert int(gen_state.step) == 1 and int(disc_state.step) == 1
+
+
+def test_eval_step(setup, rng):
+    model, _, state, x = setup
+    ev = make_eval_step(model, LossWeights(lpips=0.0, kl=0.0, vf=0.0, gan=0.0))
+    recon, losses = ev(state.params, x)
+    assert recon.shape == x.shape
+    assert float(jnp.min(recon)) >= 0.0 and float(jnp.max(recon)) <= 1.0
