@@ -18,7 +18,7 @@ from flax import linen as nn
 from ..config import TransVAEConfig
 from ..ops.blocks import ResBlock, TransVAEBlock
 from ..ops.ffn import _conv_kernel_init
-from ..ops.norms import GroupNorm
+from ..ops.norms import GroupNorm, gn_groups
 from ..ops.resample import Upsample
 
 
@@ -60,7 +60,7 @@ class TransVAEDecoder(nn.Module):
                 h = Upsample(dim, dims[i + 1], use_dc_path=cfg.use_dc_path,
                              dtype=dtype, param_dtype=pdtype, name=f"up{i}")(h)
 
-        h = GroupNorm(32, dims[-1], dtype=dtype, param_dtype=pdtype, name="norm_out")(h)
+        h = GroupNorm(gn_groups(dims[-1]), dims[-1], dtype=dtype, param_dtype=pdtype, name="norm_out")(h)
         h = nn.silu(h)
         x = nn.Conv(cfg.input_channels, (3, 3), padding=((1, 1), (1, 1)),
                     dtype=dtype, param_dtype=pdtype,

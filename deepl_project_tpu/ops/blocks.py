@@ -13,7 +13,7 @@ from flax import linen as nn
 
 from .attention import AttentionRoPE
 from .ffn import ConvFFN, StandardFFN, _conv_kernel_init
-from .norms import GroupNorm, RMSNorm
+from .norms import GroupNorm, RMSNorm, gn_groups
 
 
 class ResBlock(nn.Module):
@@ -31,8 +31,9 @@ class ResBlock(nn.Module):
         conv = functools.partial(
             nn.Conv, dtype=self.dtype, param_dtype=self.param_dtype,
             kernel_init=_conv_kernel_init())
-        gn = functools.partial(GroupNorm, 32, dtype=self.dtype,
-                               param_dtype=self.param_dtype)
+        gn = lambda dim, name: GroupNorm(  # noqa: E731
+            gn_groups(dim), dim, dtype=self.dtype,
+            param_dtype=self.param_dtype, name=name)
         h = gn(self.in_channels, name="norm1")(x)
         h = nn.silu(h)
         h = conv(self.out_channels, (3, 3), padding=((1, 1), (1, 1)), name="conv1")(h)

@@ -59,6 +59,15 @@ class LayerNorm(nn.Module):
         return y.astype(self.dtype)
 
 
+def gn_groups(dim: int, target: int = 32) -> int:
+    """Largest group count ≤ target dividing dim. Real variants (all dims
+    multiples of 32) get exactly 32 groups like the reference; tiny test dims
+    degrade gracefully instead of crashing (torch would crash too)."""
+    import math
+
+    return math.gcd(dim, target) if dim % target else target
+
+
 class GroupNorm(nn.Module):
     """GroupNorm over NHWC input; channels grouped contiguously like PyTorch.
 
