@@ -1,0 +1,130 @@
+"""Dataset sources: HF streaming ImageNet, local ImageFolder, COCO, synthetic.
+
+Reference behavior (SURVEY.md §2.4): HF ``evanarlian/imagenet_1k_resized_256``
+streaming with per-rank sharding (ref: train_2.py:184-188), torchvision
+ImageFolder + DistributedSampler (ref: train.py:132-175), COCO via
+instances_train2017.json (ref: train_working.py:46-96).
+
+TPU-native shape: every source is a plain Python iterator of HWC float32 [0,1]
+numpy arrays; sharding across hosts uses ``jax.process_index()`` (the pjit-world
+analogue of rank sharding); batching/prefetch live in pipeline.py. All sources
+are torch-free.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import random
+from typing import Iterator
+
+import numpy as np
+
+from .transforms import preprocess_file, preprocess_image
+
+IMAGE_EXTENSIONS = (".jpg", ".jpeg", ".png", ".bmp", ".webp")
+
+
+def synthetic_dataset(resolution: int = 256, num_samples: int = 1024,
+                      seed: int = 0) -> Iterator[np.ndarray]:
+    """Deterministic random images — for tests, benches and smoke training."""
+    rng = np.random.default_rng(seed)
+    for _ in range(num_samples):
+        yield rng.random((resolution, resolution, 3), np.float32)
+
+
+def image_folder_dataset(root: str, resolution: int = 256,
+                         shuffle: bool = True, seed: int = 42,
+                         shard_index: int | None = None,
+                         num_shards: int | None = None,
+                         repeat: bool = False) -> Iterator[np.ndarray]:
+    """Recursive folder-of-images loader (ImageFolder semantics, labels unused
+    — the VAE is unsupervised; ref: train.py:132-175)."""
+    files = []
+    for dirpath, _, names in os.walk(root):
+        for n in sorted(names):
+            if n.lower().endswith(IMAGE_EXTENSIONS):
+                files.append(os.path.join(dirpath, n))
+    files.sort()
+    if not files:
+        raise FileNotFoundError(f"No images under {root}")
+    if num_shards and num_shards > 1:
+        idx = shard_index or 0
+        files = files[idx::num_shards]
+    epoch = 0
+    while True:
+        order = list(files)
+        if shuffle:
+            random.Random(seed + epoch).shuffle(order)
+        for path in order:
+            try:
+                yield preprocess_file(path, resolution)
+            except Exception:
+                continue  # skip unreadable files like a DataLoader would
+        epoch += 1
+        if not repeat:
+            return
+
+
+def coco_dataset(root: str, resolution: int = 256,
+                 split: str = "train2017", max_samples: int | None = None,
+                 shard_index: int | None = None,
+                 num_shards: int | None = None) -> Iterator[np.ndarray]:
+    """COCO images via the instances annotation file (ref:
+    train_working.py:46-96; kagglehub auto-download is replaced by an explicit
+    local ``root`` — this environment has no network egress)."""
+    ann_path = os.path.join(root, "annotations", f"instances_{split}.json")
+    img_dir = os.path.join(root, split)
+    if os.path.exists(ann_path):
+        with open(ann_path) as f:
+            ann = json.load(f)
+        names = [img["file_name"] for img in ann["images"]]
+    else:
+        names = sorted(n for n in os.listdir(img_dir)
+                       if n.lower().endswith(IMAGE_EXTENSIONS))
+    if max_samples:
+        names = names[:max_samples]
+    if num_shards and num_shards > 1:
+        names = names[(shard_index or 0)::num_shards]
+    for name in names:
+        path = os.path.join(img_dir, name)
+        try:
+            yield preprocess_file(path, resolution)
+        except Exception:
+            continue
+
+
+def hf_streaming_dataset(name: str = "evanarlian/imagenet_1k_resized_256",
+                         split: str = "train", resolution: int = 256,
+                         shuffle_buffer: int = 10_000, seed: int = 42,
+                         shard_index: int | None = None,
+                         num_shards: int | None = None) -> Iterator[np.ndarray]:
+    """HF streaming ImageNet with rank sharding + buffered shuffle
+    (ref: train_2.py:184-188). Requires network access to the HF hub; callers
+    should fall back to another source when offline."""
+    from datasets import load_dataset  # lazy: heavy import
+
+    ds = load_dataset(name, split=split, streaming=True)
+    if num_shards and num_shards > 1:
+        ds = ds.shard(num_shards=num_shards, index=shard_index or 0)
+    if shuffle_buffer:
+        ds = ds.shuffle(seed=seed, buffer_size=shuffle_buffer)
+    for example in ds:
+        img = example.get("image") or example.get("img")
+        if img is None:
+            continue
+        yield preprocess_image(img, resolution)
+
+
+def make_dataset(source: str, resolution: int = 256, **kw) -> Iterator[np.ndarray]:
+    """Dispatch by source string: 'synthetic', 'hf:<name>', or a local path
+    (COCO layout auto-detected)."""
+    if source == "synthetic":
+        kw.pop("shard_index", None)
+        kw.pop("num_shards", None)
+        return synthetic_dataset(resolution, **kw)
+    if source.startswith("hf:"):
+        return hf_streaming_dataset(source[3:], resolution=resolution, **kw)
+    if os.path.isdir(os.path.join(source, "annotations")):
+        return coco_dataset(source, resolution=resolution, **kw)
+    return image_folder_dataset(source, resolution=resolution, **kw)

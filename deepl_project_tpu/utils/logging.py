@@ -1,0 +1,90 @@
+"""Observability: TensorBoard metric writer + step timing + profiler hooks.
+
+Reference: rank-0 SummaryWriter with per-term scalars every 100 steps keyed by
+global_step (ref: train.py:703, train_2.py:379-383); tqdm throughput bars.
+TPU additions (SURVEY.md §5): jax.profiler trace capture and images/sec
+counters — the things the reference lacked.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import time
+from typing import Mapping
+
+import jax
+
+
+class MetricWriter:
+    """Thin TensorBoard writer; no-ops gracefully when tensorboardX is absent
+    or on non-primary hosts (the pjit analogue of rank-0 gating)."""
+
+    def __init__(self, log_dir: str | None, only_primary: bool = True):
+        self._writer = None
+        if log_dir is None:
+            return
+        if only_primary and jax.process_index() != 0:
+            return
+        try:
+            from tensorboardX import SummaryWriter
+
+            self._writer = SummaryWriter(log_dir)
+        except ImportError:
+            pass
+
+    def scalars(self, step: int, metrics: Mapping[str, float],
+                prefix: str = "train") -> None:
+        if self._writer is None:
+            return
+        for name, value in metrics.items():
+            self._writer.add_scalar(f"{prefix}/{name}", float(value), step)
+
+    def image(self, step: int, tag: str, image) -> None:
+        if self._writer is None:
+            return
+        self._writer.add_image(tag, image, step, dataformats="HWC")
+
+    def flush(self) -> None:
+        if self._writer is not None:
+            self._writer.flush()
+
+    def close(self) -> None:
+        if self._writer is not None:
+            self._writer.close()
+
+
+class StepTimer:
+    """Images/sec + step-time tracking with warmup exclusion."""
+
+    def __init__(self, warmup: int = 2):
+        self.warmup = warmup
+        self._count = 0
+        self._images = 0
+        self._t0 = None
+
+    def tick(self, batch_size: int) -> None:
+        self._count += 1
+        if self._count == self.warmup:
+            self._t0 = time.perf_counter()
+            self._images = 0
+        elif self._count > self.warmup:
+            self._images += batch_size
+
+    @property
+    def images_per_sec(self) -> float:
+        if self._t0 is None or self._images == 0:
+            return 0.0
+        return self._images / (time.perf_counter() - self._t0)
+
+
+@contextlib.contextmanager
+def profiler_trace(log_dir: str | None):
+    """Capture a jax.profiler trace viewable in TensorBoard/Perfetto."""
+    if log_dir is None:
+        yield
+        return
+    jax.profiler.start_trace(log_dir)
+    try:
+        yield
+    finally:
+        jax.profiler.stop_trace()

@@ -1,0 +1,105 @@
+"""Data pipeline + metrics/image-utils tests (host-side, fast)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from deepl_project_tpu.data import (batch_iterator, input_pipeline,
+                                    make_dataset, prefetch_to_device,
+                                    synthetic_dataset)
+from deepl_project_tpu.utils import (make_grid, nchw_to_nhwc, nhwc_to_nchw,
+                                     psnr, ssim, summarize, to_uint8)
+
+
+def test_synthetic_dataset_deterministic():
+    a = list(synthetic_dataset(8, 4, seed=1))
+    b = list(synthetic_dataset(8, 4, seed=1))
+    assert len(a) == 4
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(x, y)
+        assert x.shape == (8, 8, 3) and x.dtype == np.float32
+        assert 0.0 <= x.min() and x.max() <= 1.0
+
+
+def test_batch_iterator_shapes():
+    batches = list(batch_iterator(synthetic_dataset(8, 10), 4, drop_last=True))
+    assert len(batches) == 2
+    assert batches[0].shape == (4, 8, 8, 3)
+    batches = list(batch_iterator(synthetic_dataset(8, 10), 4, drop_last=False))
+    assert len(batches) == 3
+    assert batches[-1].shape == (2, 8, 8, 3)
+
+
+def test_prefetch_to_device():
+    batches = batch_iterator(synthetic_dataset(8, 8), 4)
+    out = list(prefetch_to_device(batches, size=2))
+    assert len(out) == 2
+    assert out[0].shape == (4, 8, 8, 3)
+
+
+def test_input_pipeline_end_to_end():
+    out = list(input_pipeline(synthetic_dataset(8, 12), 4))
+    assert len(out) == 3
+
+
+def test_make_dataset_dispatch():
+    it = make_dataset("synthetic", resolution=8, num_samples=2)
+    assert next(it).shape == (8, 8, 3)
+
+
+def test_image_folder(tmp_path):
+    from PIL import Image
+
+    for i in range(5):
+        Image.fromarray(
+            (np.random.rand(40, 30, 3) * 255).astype(np.uint8)).save(
+                tmp_path / f"img{i}.png")
+    it = make_dataset(str(tmp_path), resolution=16, shuffle=False)
+    imgs = list(it)
+    assert len(imgs) == 5
+    assert imgs[0].shape == (16, 16, 3)
+
+
+def test_transforms_resize_crop():
+    from PIL import Image
+
+    from deepl_project_tpu.data import preprocess_image
+
+    img = Image.fromarray((np.random.rand(100, 60, 3) * 255).astype(np.uint8))
+    out = preprocess_image(img, 32)
+    assert out.shape == (32, 32, 3)
+    assert out.dtype == np.float32
+
+
+def test_psnr_identical_images():
+    x = jnp.ones((2, 16, 16, 3)) * 0.5
+    p = psnr(x, x)
+    assert float(p[0]) > 100  # near-infinite for identical
+
+
+def test_psnr_known_value():
+    x = jnp.zeros((1, 8, 8, 3))
+    y = jnp.full((1, 8, 8, 3), 0.1)
+    np.testing.assert_allclose(float(psnr(x, y)[0]), 20.0, atol=1e-3)
+
+
+def test_ssim_bounds():
+    x = jnp.broadcast_to(
+        jnp.linspace(0, 1, 32 * 32).reshape(1, 32, 32, 1), (2, 32, 32, 3))
+    assert float(ssim(x, x)[0]) == pytest.approx(1.0, abs=1e-5)
+    noisy = jnp.clip(x + 0.3 * np.random.RandomState(0).randn(2, 32, 32, 3), 0, 1)
+    s = ssim(x, noisy)
+    assert 0.0 < float(s[0]) < 0.95
+
+
+def test_grid_and_layout_utils():
+    imgs = np.random.rand(5, 8, 8, 3).astype(np.float32)
+    grid = make_grid(imgs, nrow=3)
+    assert grid.ndim == 3 and grid.shape[-1] == 3
+    u8 = to_uint8(imgs)
+    assert u8.dtype == np.uint8
+    nchw = nhwc_to_nchw(imgs)
+    assert nchw.shape == (5, 3, 8, 8)
+    np.testing.assert_array_equal(nchw_to_nhwc(nchw), imgs)
+    s = summarize(np.array([1.0, 2.0, 3.0]))
+    assert s["mean"] == 2.0 and s["median"] == 2.0
