@@ -1,0 +1,81 @@
+"""Headline benchmark: encode+decode images/sec/chip, TransVAE-L f16d32 @256px.
+
+Matches BASELINE.json's metric ("encode+decode images/sec/chip at 256px (large
+variant)"). The reference publishes no wall-clock throughput (SURVEY.md §6) —
+the north star is ≥3x an A100-class chip. With no measurable A100 on hand, the
+A100 estimate is derived from this model's own measured compiled FLOPs assuming
+an A100 sustains 40% MFU of 312 bf16 TFLOPs (a strong, favourable-to-A100
+assumption); vs_baseline = measured / (3 x estimated A100 img/s).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...extras}.
+"""
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+
+BATCH = 16
+RES = 256
+VARIANT = "large"
+A100_BF16_PEAK_TFLOPS = 312.0
+A100_ASSUMED_MFU = 0.40
+
+
+def main():
+    from deepl_project_tpu import TransVAE, get_config
+    from deepl_project_tpu.models import init_params
+
+    cfg = get_config(VARIANT, 16, 32)
+    model = TransVAE(cfg)
+    rng = jax.random.PRNGKey(0)
+    params = init_params(model, rng, image_size=RES, batch=1)
+    x = jax.random.uniform(jax.random.PRNGKey(1), (BATCH, RES, RES, 3),
+                           jnp.bfloat16)
+
+    @jax.jit
+    def encode_decode(params, x):
+        recon, mu, logvar = model.apply({"params": params}, x, sample=False)
+        return recon
+
+    lowered = encode_decode.lower(params, x)
+    compiled = lowered.compile()
+    cost = compiled.cost_analysis()
+    flops_total = float(cost.get("flops", 0.0)) if cost else 0.0
+    flops_per_image = flops_total / BATCH
+
+    # Warmup (first call may retrigger async work) then timed runs.
+    out = compiled(params, x)
+    jax.block_until_ready(out)
+    iters = 20
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = compiled(params, x)
+    jax.block_until_ready(out)
+    dt = time.perf_counter() - t0
+    images_per_sec = BATCH * iters / dt
+
+    if flops_per_image > 0:
+        a100_img_s = (A100_BF16_PEAK_TFLOPS * 1e12 * A100_ASSUMED_MFU /
+                      flops_per_image)
+        vs_baseline = images_per_sec / (3.0 * a100_img_s)
+    else:
+        a100_img_s = 0.0
+        vs_baseline = 0.0
+
+    print(json.dumps({
+        "metric": f"encode+decode images/sec/chip, TransVAE-{VARIANT} "
+                  f"f16d32 @{RES}px bf16 batch {BATCH}",
+        "value": round(images_per_sec, 2),
+        "unit": "images/sec",
+        "vs_baseline": round(vs_baseline, 4),
+        "step_ms": round(1e3 * dt / iters, 2),
+        "tflops_per_image": round(flops_per_image / 1e12, 4),
+        "est_a100_images_per_sec_at_40pct_mfu": round(a100_img_s, 2),
+        "device": str(jax.devices()[0]),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,152 @@
+"""Fused flash attention for TPU (Pallas/Mosaic).
+
+The reference's hottest kernel is F.scaled_dot_product_attention at the
+highest-resolution transformer stage (ref: transvae/modules/attention.py:88-92;
+SURVEY.md §3.2 "HOTTEST KERNEL") — stage 3 sees N=4096 tokens at 256px and
+N=65,536 at 1024px extrapolation, where the O(N²) logits matrix cannot live in
+HBM. This kernel computes softmax(q·kᵀ·scale)·v blockwise with an online
+(running max/sum) softmax, keeping everything in VMEM:
+
+- grid (batch·heads, N/BLOCK_Q, N/BLOCK_K); the KV axis is the innermost grid
+  dimension so Mosaic pipelines the k/v block DMAs against the MXU matmuls.
+- fp32 accumulators in VMEM scratch; bf16 inputs feed the MXU directly.
+- non-causal (the model attends globally over image tokens), no masking needed
+  when N % BLOCK == 0 — shapes here are H·W with H,W powers of two.
+
+Backward: flash recompute via a query-chunked XLA pass (memory O(N·chunk), no
+N×N materialization). A full Pallas backward is a later optimization; the
+custom_vjp boundary already isolates it.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+DEFAULT_BLOCK_Q = 512
+DEFAULT_BLOCK_K = 512
+
+
+def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr, *,
+                  scale: float, kv_blocks: int):
+    j = pl.program_id(2)
+
+    @pl.when(j == 0)
+    def _init():
+        m_scr[:] = jnp.full_like(m_scr, -jnp.inf)
+        l_scr[:] = jnp.zeros_like(l_scr)
+        acc_scr[:] = jnp.zeros_like(acc_scr)
+
+    q = q_ref[0]  # [bq, d]
+    k = k_ref[0]  # [bk, d]
+    v = v_ref[0]  # [bk, d]
+
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32) * scale  # [bq, bk]
+
+    m_prev = m_scr[:]  # [bq, 1]
+    m_cur = jnp.max(s, axis=-1, keepdims=True)
+    m_new = jnp.maximum(m_prev, m_cur)
+    alpha = jnp.exp(m_prev - m_new)
+    p = jnp.exp(s - m_new)
+    l_scr[:] = alpha * l_scr[:] + jnp.sum(p, axis=-1, keepdims=True)
+    m_scr[:] = m_new
+    acc_scr[:] = acc_scr[:] * alpha + jax.lax.dot_general(
+        p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+    @pl.when(j == kv_blocks - 1)
+    def _finalize():
+        o_ref[0] = (acc_scr[:] / l_scr[:]).astype(o_ref.dtype)
+
+
+def _flash_forward(q, k, v, scale, block_q, block_k):
+    """q,k,v: [BH, N, D] → out [BH, N, D]."""
+    bh, n, d = q.shape
+    block_q = min(block_q, n)
+    block_k = min(block_k, n)
+    assert n % block_q == 0 and n % block_k == 0, (n, block_q, block_k)
+    q_blocks = n // block_q
+    kv_blocks = n // block_k
+
+    grid = (bh, q_blocks, kv_blocks)
+    kernel = functools.partial(_flash_kernel, scale=scale, kv_blocks=kv_blocks)
+    flops = 4 * n * n * d * bh  # 2 matmuls of 2*N*N*D each (per bh)
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, block_q, d), lambda b, i, j: (b, i, 0)),
+            pl.BlockSpec((1, block_k, d), lambda b, i, j: (b, j, 0)),
+            pl.BlockSpec((1, block_k, d), lambda b, i, j: (b, j, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, d), lambda b, i, j: (b, i, 0)),
+        out_shape=jax.ShapeDtypeStruct((bh, n, d), q.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((block_q, 1), jnp.float32),
+            pltpu.VMEM((block_q, 1), jnp.float32),
+            pltpu.VMEM((block_q, d), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=flops, bytes_accessed=3 * bh * n * d * q.dtype.itemsize,
+            transcendentals=bh * n * n),
+    )(q, k, v)
+
+
+def _attention_reference_chunked(q, k, v, scale, chunk=1024):
+    """Memory-bounded XLA attention on [BH, N, D] (for the recompute VJP)."""
+    bh, n, d = q.shape
+    chunk = min(chunk, n)
+    if n % chunk:
+        logits = jnp.einsum("bqd,bkd->bqk", q, k,
+                            preferred_element_type=jnp.float32) * scale
+        w = jax.nn.softmax(logits, -1).astype(v.dtype)
+        return jnp.einsum("bqk,bkd->bqd", w, v)
+    qc = q.reshape(bh, n // chunk, chunk, d)
+
+    def body(_, q_blk):
+        logits = jnp.einsum("bqd,bkd->bqk", q_blk, k,
+                            preferred_element_type=jnp.float32) * scale
+        w = jax.nn.softmax(logits, -1).astype(v.dtype)
+        return None, jnp.einsum("bqk,bkd->bqd", w, v)
+
+    _, out = jax.lax.scan(body, None, jnp.moveaxis(qc, 1, 0))
+    return jnp.moveaxis(out, 0, 1).reshape(bh, n, d)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def _flash(q, k, v, scale, block_q, block_k):
+    return _flash_forward(q, k, v, scale, block_q, block_k)
+
+
+def _flash_fwd(q, k, v, scale, block_q, block_k):
+    return _flash_forward(q, k, v, scale, block_q, block_k), (q, k, v)
+
+
+def _flash_bwd(scale, block_q, block_k, res, g):
+    q, k, v = res
+    _, vjp = jax.vjp(
+        lambda q_, k_, v_: _attention_reference_chunked(q_, k_, v_, scale), q, k, v)
+    return vjp(g)
+
+
+_flash.defvjp(_flash_fwd, _flash_bwd)
+
+
+def flash_attention(q: jax.Array, k: jax.Array, v: jax.Array, scale: float,
+                    block_q: int = DEFAULT_BLOCK_Q,
+                    block_k: int = DEFAULT_BLOCK_K) -> jax.Array:
+    """Flash attention on [B, N, num_heads, head_dim] tensors (same layout as
+    ops.attention.xla_attention)."""
+    b, n, h, d = q.shape
+
+    def fold(x):
+        return x.transpose(0, 2, 1, 3).reshape(b * h, n, d)
+
+    out = _flash(fold(q), fold(k), fold(v), float(scale), block_q, block_k)
+    return out.reshape(b, h, n, d).transpose(0, 2, 1, 3)
