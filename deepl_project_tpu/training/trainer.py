@@ -1,0 +1,151 @@
+"""High-level training loop: assembles model, data, optimizer, logging and
+checkpointing into the reference's two-stage recipe.
+
+Reference counterpart: train.py main() / train_epoch (ref: train.py:557-646,
+train_2.py:276-405; SURVEY.md §3.1). Differences are all TPU-idiomatic:
+one jitted step (grad-accum inside), sharded batches on a device mesh instead
+of DDP, orbax checkpoints, no GradScaler (bf16), metrics fetched once per log
+interval rather than a D2H sync per step.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+import time
+from typing import Any, Iterator
+
+import jax
+import numpy as np
+
+from ..config import TransVAEConfig
+from ..losses import LossWeights, get_lpips_params, lpips_params_available
+from ..models.transvae import TransVAE, init_params
+from ..parallel import batch_sharding, create_mesh, shard_params
+from .checkpoint import latest_step, restore_checkpoint, save_checkpoint
+from .optim import make_optimizer
+from .train_step import (TrainState, init_train_state, make_train_step,
+                         make_vf_proj_params)
+
+
+@dataclasses.dataclass
+class TrainerConfig:
+    """Training hyperparameters (reference defaults; SURVEY.md §2.5)."""
+
+    batch_size: int = 16
+    accum_steps: int = 1
+    learning_rate: float = 1e-4
+    warmup_steps: int = 10_000
+    num_epochs: int = 100
+    steps_per_epoch: int = 1000
+    max_grad_norm: float = 1.0
+    freeze_encoder: bool = False  # stage 2
+    weights: LossWeights = dataclasses.field(default_factory=LossWeights)
+    use_lpips: bool = True
+    resolution: int = 256
+    seed: int = 42
+    log_every: int = 100
+    save_every_epochs: int = 5
+    output_dir: str = "outputs"
+    mesh_model: int = 1
+    param_sharding: str = "replicate"  # 'replicate' | 'fsdp' | 'tensor'
+
+
+class Trainer:
+    def __init__(self, model_config: TransVAEConfig, train_config: TrainerConfig,
+                 teacher_fn=None):
+        self.model_config = model_config
+        self.cfg = train_config
+        self.model = TransVAE(model_config)
+        self.mesh = create_mesh(model=train_config.mesh_model)
+        self.teacher_fn = teacher_fn
+
+        lpips_params = None
+        if train_config.use_lpips and train_config.weights.lpips > 0:
+            lpips_params = get_lpips_params()
+            if not lpips_params_available():
+                print("[trainer] WARNING: no pretrained LPIPS weights found; "
+                      "using random-init VGG (run scripts/convert_lpips_weights.py)")
+        self.lpips_params = lpips_params
+
+        self.tx = make_optimizer(
+            learning_rate=train_config.learning_rate,
+            warmup_steps=train_config.warmup_steps,
+            max_grad_norm=train_config.max_grad_norm,
+            freeze_encoder=train_config.freeze_encoder)
+        self.step_fn = make_train_step(
+            self.model, self.tx, train_config.weights,
+            lpips_params=lpips_params, teacher_fn=teacher_fn,
+            accum_steps=train_config.accum_steps)
+        self._writer = None
+
+    # -- state -----------------------------------------------------------
+    def create_state(self, rng: jax.Array, dino_dim: int | None = None
+                     ) -> TrainState:
+        params = {"model": init_params(
+            self.model, rng, image_size=self.cfg.resolution)}
+        if self.teacher_fn is not None and dino_dim:
+            params["vf_proj"] = make_vf_proj_params(
+                rng, self.model_config.latent_dim, dino_dim)
+        params = shard_params(self.mesh, params, self.cfg.param_sharding)
+        return init_train_state(params, self.tx)
+
+    def maybe_resume(self, state: TrainState) -> tuple[TrainState, int]:
+        ckpt_dir = os.path.join(self.cfg.output_dir, "checkpoints")
+        step = latest_step(ckpt_dir)
+        if step is None:
+            return state, 0
+        payload, meta = restore_checkpoint(ckpt_dir, abstract_state={
+            "params": state.params, "opt_state": state.opt_state,
+            "step": state.step})
+        state = state.replace(step=payload["step"], params=payload["params"],
+                              opt_state=payload["opt_state"])
+        print(f"[trainer] resumed from step {int(state.step)} "
+              f"(epoch {meta['epoch']})")
+        return state, meta["epoch"]
+
+    # -- loop ------------------------------------------------------------
+    def fit(self, data_iter: Iterator[np.ndarray], state: TrainState | None = None
+            ) -> TrainState:
+        from ..utils.logging import MetricWriter, StepTimer
+
+        rng = jax.random.PRNGKey(self.cfg.seed)
+        if state is None:
+            state = self.create_state(rng)
+        state, start_epoch = self.maybe_resume(state)
+        writer = MetricWriter(os.path.join(self.cfg.output_dir, "tb"))
+        sharding = batch_sharding(self.mesh)
+        timer = StepTimer()
+
+        for epoch in range(start_epoch, self.cfg.num_epochs):
+            epoch_metrics = []
+            for _ in range(self.cfg.steps_per_epoch):
+                try:
+                    batch = next(data_iter)
+                except StopIteration:
+                    break
+                batch = jax.device_put(batch, sharding)
+                state, metrics = self.step_fn(state, batch, rng)
+                timer.tick(self.cfg.batch_size)
+                step = int(state.step)
+                if step % self.cfg.log_every == 0:
+                    host = {k: float(v) for k, v in metrics.items()}
+                    host["images_per_sec"] = timer.images_per_sec
+                    writer.scalars(step, host)
+                    epoch_metrics.append(host)
+                    print(f"[trainer] epoch {epoch} step {step} "
+                          f"loss {host['total']:.4f} "
+                          f"({host['images_per_sec']:.1f} img/s)")
+            if ((epoch + 1) % self.cfg.save_every_epochs == 0
+                    or epoch == self.cfg.num_epochs - 1):
+                self.save(state, epoch)
+        writer.close()
+        return state
+
+    def save(self, state: TrainState, epoch: int) -> None:
+        ckpt_dir = os.path.join(self.cfg.output_dir, "checkpoints")
+        save_checkpoint(ckpt_dir, int(state.step),
+                        {"params": state.params, "opt_state": state.opt_state,
+                         "step": state.step},
+                        epoch=epoch, config=self.model_config)
+        print(f"[trainer] saved checkpoint at step {int(state.step)}")
