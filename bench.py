@@ -11,10 +11,16 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...extras}.
 """
 
 import json
+import os
 import time
 
 import jax
 import jax.numpy as jnp
+
+# Persistent compile cache: repeat bench runs skip the multi-minute XLA compile.
+os.makedirs("/tmp/jax_cache", exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 BATCH = 16
 RES = 256
@@ -45,14 +51,16 @@ def main():
     flops_total = float(cost.get("flops", 0.0)) if cost else 0.0
     flops_per_image = flops_total / BATCH
 
-    # Warmup (first call may retrigger async work) then timed runs.
-    out = compiled(params, x)
-    jax.block_until_ready(out)
-    iters = 20
+    # NOTE: block_until_ready does not truly synchronize through the axon
+    # tunnel — a host fetch is the only reliable fence, so timing ends with a
+    # scalar readback and uses enough iterations to amortize the ~25ms RTT.
+    fetch = jax.jit(lambda o: jnp.sum(o.astype(jnp.float32)))
+    float(fetch(compiled(params, x)))  # warmup
+    iters = 50
     t0 = time.perf_counter()
     for _ in range(iters):
         out = compiled(params, x)
-    jax.block_until_ready(out)
+    float(fetch(out))
     dt = time.perf_counter() - t0
     images_per_sec = BATCH * iters / dt
 

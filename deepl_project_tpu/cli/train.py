@@ -1,0 +1,117 @@
+"""Training CLI — flag parity with the reference's argparse front-end
+(ref: train.py:27-75; YAML model-section precedence ref: train.py:96-124).
+
+Usage:
+  python -m deepl_project_tpu.cli.train --variant tiny --data synthetic \
+      --batch_size 8 --num_epochs 1 --steps_per_epoch 20 --output_dir out/
+"""
+
+from __future__ import annotations
+
+import argparse
+
+from ..config import get_config
+from ..data import batch_iterator, make_dataset
+from ..losses import LossWeights
+from ..training.trainer import Trainer, TrainerConfig
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description="Train TransVAE (TPU-native)")
+    # Model
+    p.add_argument("--variant", default="tiny",
+                   choices=["tiny", "base", "large", "huge", "giant"])
+    p.add_argument("--compression_ratio", type=int, default=16, choices=[8, 16])
+    p.add_argument("--latent_dim", type=int, default=None)
+    p.add_argument("--config", default=None, help="YAML config path")
+    p.add_argument("--gradient_checkpointing", action="store_true")
+    # Data
+    p.add_argument("--data", default="synthetic",
+                   help="'synthetic', 'hf:<dataset>', or a local path")
+    p.add_argument("--resolution", type=int, default=256)
+    # Training
+    p.add_argument("--batch_size", type=int, default=16)
+    p.add_argument("--accum_steps", type=int, default=1)
+    p.add_argument("--num_epochs", type=int, default=100)
+    p.add_argument("--steps_per_epoch", type=int, default=1000)
+    p.add_argument("--lr", type=float, default=1e-4)
+    p.add_argument("--warmup_steps", type=int, default=10_000)
+    p.add_argument("--seed", type=int, default=42)
+    # Losses (reference defaults, patched vae_loss.py:31-38)
+    p.add_argument("--l1_weight", type=float, default=1.0)
+    p.add_argument("--lpips_weight", type=float, default=1.0)
+    p.add_argument("--kl_weight", type=float, default=1e-8)
+    p.add_argument("--vf_weight", type=float, default=0.0)
+    p.add_argument("--gan_weight", type=float, default=0.0)
+    # Stage 2
+    p.add_argument("--use_gan", action="store_true")
+    p.add_argument("--freeze_encoder", action="store_true")
+    # Infra
+    p.add_argument("--output_dir", default="outputs")
+    p.add_argument("--save_every_epochs", type=int, default=5)
+    p.add_argument("--log_every", type=int, default=100)
+    p.add_argument("--mesh_model", type=int, default=1,
+                   help="model-parallel axis size (tensor sharding for huge/giant)")
+    p.add_argument("--param_sharding", default="replicate",
+                   choices=["replicate", "fsdp", "tensor"])
+    return p
+
+
+def load_yaml_config(path: str, args: argparse.Namespace) -> dict:
+    """YAML schema parity: model/training/losses sections; the model section
+    takes precedence over CLI flags (ref: train.py:116-124)."""
+    import yaml
+
+    with open(path) as f:
+        raw = yaml.safe_load(f) or {}
+    model = raw.get("model", {})
+    for key in ("variant", "compression_ratio", "latent_dim"):
+        if key in model:
+            setattr(args, key, model[key])
+    training = raw.get("training", {})
+    for src, dst in [("batch_size", "batch_size"), ("learning_rate", "lr"),
+                     ("warmup_steps", "warmup_steps"),
+                     ("num_epochs", "num_epochs"),
+                     ("gradient_accumulation", "accum_steps")]:
+        if src in training:
+            setattr(args, dst, training[src])
+    losses = raw.get("losses", {})
+    for src, dst in [("l1", "l1_weight"), ("lpips", "lpips_weight"),
+                     ("kl", "kl_weight"), ("vf", "vf_weight"),
+                     ("gan", "gan_weight")]:
+        if src in losses:
+            setattr(args, dst, losses[src])
+    return raw
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    if args.config:
+        load_yaml_config(args.config, args)
+
+    model_cfg = get_config(args.variant, args.compression_ratio,
+                           args.latent_dim, remat=args.gradient_checkpointing)
+    weights = LossWeights(l1=args.l1_weight, lpips=args.lpips_weight,
+                          kl=args.kl_weight, vf=args.vf_weight,
+                          gan=args.gan_weight if args.use_gan else 0.0)
+    train_cfg = TrainerConfig(
+        batch_size=args.batch_size, accum_steps=args.accum_steps,
+        learning_rate=args.lr, warmup_steps=args.warmup_steps,
+        num_epochs=args.num_epochs, steps_per_epoch=args.steps_per_epoch,
+        freeze_encoder=args.freeze_encoder, weights=weights,
+        use_lpips=args.lpips_weight > 0, resolution=args.resolution,
+        seed=args.seed, log_every=args.log_every,
+        save_every_epochs=args.save_every_epochs, output_dir=args.output_dir,
+        mesh_model=args.mesh_model, param_sharding=args.param_sharding)
+
+    source = make_dataset(args.data, resolution=args.resolution,
+                          **({"repeat": True} if args.data not in ("synthetic",)
+                             and not args.data.startswith("hf:") else {}))
+    data = batch_iterator(source, args.batch_size)
+
+    trainer = Trainer(model_cfg, train_cfg)
+    trainer.fit(data)
+
+
+if __name__ == "__main__":
+    main()

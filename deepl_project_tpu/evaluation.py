@@ -1,0 +1,145 @@
+"""Evaluation harness: PSNR/SSIM/LPIPS over a dataset, reconstruction grids,
+random sampling, resolution-extrapolation sweeps.
+
+Reference counterparts: evaluate.py:68-193 (metrics loop; per-image skimage on
+CPU) and patched evaluate_transvae.py:109-341 (on-GPU metrics, sigmoid on
+logits, metrics.json, comparison grids, random samples),
+scripts/reproduce/test_rope_extrapolation.py (PSNR at 256/512/1024).
+
+TPU design: the whole eval step — forward + sigmoid + PSNR/SSIM/LPIPS — is one
+jitted program; only the final per-batch metric vectors cross to host.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Any, Iterator
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .losses import LossWeights, get_lpips_params, lpips as lpips_distance
+from .models.transvae import TransVAE
+from .utils.image import make_grid, save_image
+from .utils.metrics import psnr, ssim, summarize
+
+
+def make_metric_step(model: TransVAE, lpips_params: Any | None = None):
+    """Jitted: batch -> (recon[0,1], {psnr, ssim, lpips per image})."""
+
+    @jax.jit
+    def step(params, batch):
+        recon_logits, mu, logvar = model.apply(
+            {"params": params}, batch, sample=False)
+        recon = jax.nn.sigmoid(recon_logits.astype(jnp.float32))
+        target = batch.astype(jnp.float32)
+        out = {"psnr": psnr(recon, target), "ssim": ssim(recon, target)}
+        if lpips_params is not None:
+            out["lpips"] = lpips_distance(
+                lpips_params, recon * 2.0 - 1.0, target * 2.0 - 1.0)
+        return recon, out
+
+    return step
+
+
+def evaluate_model(model: TransVAE, params: Any,
+                   batches: Iterator[np.ndarray],
+                   use_lpips: bool = True,
+                   max_batches: int | None = None,
+                   output_dir: str | None = None,
+                   save_grids: int = 0) -> dict:
+    """Run reconstruction metrics over batches; returns {metric: summary}
+    and optionally writes metrics.json + comparison grids."""
+    lpips_params = get_lpips_params() if use_lpips else None
+    step = make_metric_step(model, lpips_params)
+    model_params = params["model"] if isinstance(params, dict) and "model" in params else params
+
+    collected: dict[str, list] = {}
+    grids_saved = 0
+    n_images = 0
+    for i, batch in enumerate(batches):
+        if max_batches is not None and i >= max_batches:
+            break
+        recon, metrics = step(model_params, jnp.asarray(batch))
+        for name, vals in metrics.items():
+            collected.setdefault(name, []).append(np.asarray(vals))
+        n_images += batch.shape[0]
+        if output_dir and grids_saved < save_grids:
+            pair = np.concatenate([np.asarray(batch, np.float32),
+                                   np.asarray(recon)], axis=0)
+            os.makedirs(output_dir, exist_ok=True)
+            save_image(make_grid(pair, nrow=batch.shape[0]),
+                       os.path.join(output_dir, f"comparison_{i:03d}.png"))
+            grids_saved += 1
+
+    results = {name: summarize(np.concatenate(vals))
+               for name, vals in collected.items()}
+    results["num_images"] = n_images
+    if output_dir:
+        os.makedirs(output_dir, exist_ok=True)
+        with open(os.path.join(output_dir, "metrics.json"), "w") as f:
+            json.dump(results, f, indent=2)
+    return results
+
+
+def extrapolation_sweep(model: TransVAE, params: Any, images: np.ndarray,
+                        resolutions: tuple = (256, 512, 1024)) -> dict:
+    """PSNR at multiple inference resolutions from one trained model — the
+    RoPE extrapolation experiment (ref: test_rope_extrapolation.py:28-140).
+
+    ``images`` must be at the largest resolution; smaller ones are produced by
+    area-downsampling.
+    """
+    model_params = params["model"] if isinstance(params, dict) and "model" in params else params
+    results = {}
+    for res in resolutions:
+        b, h, w, c = images.shape
+        if h != res:
+            batch = jax.image.resize(jnp.asarray(images), (b, res, res, c),
+                                     method="linear")
+        else:
+            batch = jnp.asarray(images)
+
+        @jax.jit
+        def step(p, xb):
+            recon_logits, *_ = model.apply({"params": p}, xb, sample=False)
+            recon = jax.nn.sigmoid(recon_logits.astype(jnp.float32))
+            return psnr(recon, xb.astype(jnp.float32))
+
+        vals = np.asarray(step(model_params, batch))
+        results[res] = summarize(vals)
+    return results
+
+
+def generate_random(model: TransVAE, params: Any, rng: jax.Array,
+                    num_samples: int = 16, latent_hw: int = 16) -> np.ndarray:
+    """Decode z ~ N(0,1) samples (ref: generate_images.py:76-108; latent shape
+    [N, h, w, d] fixing reference defect §2.9.5)."""
+    model_params = params["model"] if isinstance(params, dict) and "model" in params else params
+    z = jax.random.normal(
+        rng, (num_samples, latent_hw, latent_hw, model.config.latent_dim))
+    logits = model.apply({"params": model_params}, z, method="decode")
+    return np.asarray(jax.nn.sigmoid(logits.astype(jnp.float32)))
+
+
+def generate_interpolation(model: TransVAE, params: Any, image_a: np.ndarray,
+                           image_b: np.ndarray, steps: int = 8) -> np.ndarray:
+    """Linear interpolation between two images' latents
+    (ref: generate_images.py:112-143)."""
+    model_params = params["model"] if isinstance(params, dict) and "model" in params else params
+    batch = jnp.stack([jnp.asarray(image_a), jnp.asarray(image_b)])
+    mu, _ = model.apply({"params": model_params}, batch, method="encode")
+    alphas = jnp.linspace(0.0, 1.0, steps).reshape(steps, 1, 1, 1)
+    z = (1 - alphas) * mu[0] + alphas * mu[1]
+    logits = model.apply({"params": model_params}, z, method="decode")
+    return np.asarray(jax.nn.sigmoid(logits.astype(jnp.float32)))
+
+
+def reconstruct(model: TransVAE, params: Any, images: np.ndarray) -> np.ndarray:
+    """Deterministic encode→decode (ref: inference_example.py:34-80 uses mu)."""
+    model_params = params["model"] if isinstance(params, dict) and "model" in params else params
+    logits, *_ = model.apply({"params": model_params}, jnp.asarray(images),
+                             sample=False)
+    return np.asarray(jax.nn.sigmoid(logits.astype(jnp.float32)))

@@ -57,7 +57,16 @@ class Trainer:
         self.model_config = model_config
         self.cfg = train_config
         self.model = TransVAE(model_config)
-        self.mesh = create_mesh(model=train_config.mesh_model)
+        # Data-axis size must divide the global batch; drop to the largest
+        # divisor (a subset mesh) rather than crashing on small debug batches.
+        import math
+
+        n = len(jax.devices())
+        avail = n // train_config.mesh_model
+        data = math.gcd(train_config.batch_size, avail)
+        devices = jax.devices()[: data * train_config.mesh_model]
+        self.mesh = create_mesh(data=data, model=train_config.mesh_model,
+                                devices=devices)
         self.teacher_fn = teacher_fn
 
         lpips_params = None
