@@ -1,0 +1,69 @@
+"""Latent diagnostics, linear probe, and FID machinery tests."""
+
+import numpy as np
+import pytest
+
+from deepl_project_tpu.utils.fid import (feature_statistics, fid_from_features,
+                                         frechet_distance)
+from deepl_project_tpu.utils.latent_metrics import (density_cv, gini,
+                                                    latent_diagnostics,
+                                                    linear_probe,
+                                                    normalized_entropy,
+                                                    pool_latents)
+
+
+def test_fid_identical_distributions():
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(2000, 16))
+    assert fid_from_features(x, x) == pytest.approx(0.0, abs=1e-6)
+
+
+def test_fid_shifted_distribution():
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(2000, 16))
+    y = x + 2.0
+    # Mean shift of 2 in 16 dims → |mu1-mu2|^2 = 64.
+    assert fid_from_features(x, y) == pytest.approx(64.0, rel=0.05)
+
+
+def test_frechet_known_value():
+    mu1, mu2 = np.zeros(4), np.ones(4)
+    s = np.eye(4)
+    assert frechet_distance(mu1, s, mu2, s) == pytest.approx(4.0, abs=1e-6)
+
+
+def test_latent_diagnostics_gaussian_vs_degenerate():
+    rng = np.random.default_rng(0)
+    gauss = rng.normal(size=(10000,))
+    point = np.zeros((10000,))  # fully collapsed latent
+    dg = latent_diagnostics(gauss)
+    dp = latent_diagnostics(point)
+    # Collapsed latents: minimal entropy, maximal gini.
+    assert dp["normalized_entropy"] < dg["normalized_entropy"]
+    assert dp["gini"] > dg["gini"]
+    assert 0 <= dg["normalized_entropy"] <= 1
+    assert 0 <= dg["gini"] <= 1
+
+
+def test_linear_probe_separable():
+    rng = np.random.default_rng(0)
+    n, d = 400, 8
+    labels = rng.integers(0, 2, n)
+    feats = rng.normal(size=(n, d)) + labels[:, None] * 3.0
+    out = linear_probe(feats, labels, num_classes=2, steps=300)
+    assert out["val_acc"] > 0.9
+
+
+def test_pool_latents(rng):
+    import jax
+
+    from deepl_project_tpu import TransVAE, get_config
+    from deepl_project_tpu.models.transvae import init_params
+
+    cfg = get_config("tiny_f16d32", dtype="float32", attention_impl="xla").replace(
+        depths=(1, 1, 1), base_dims=(16, 16, 32), latent_dim=4, head_dim=16)
+    model = TransVAE(cfg)
+    params = {"model": init_params(model, jax.random.PRNGKey(0), image_size=16)}
+    batches = [np.random.rand(2, 16, 16, 3).astype(np.float32)] * 2
+    feats = pool_latents(model, params, iter(batches))
+    assert feats.shape == (4, 4)
