@@ -29,9 +29,10 @@ class InstanceNorm(nn.Module):
         scale = self.param("scale", nn.initializers.ones, (self.dim,), self.param_dtype)
         bias = self.param("bias", nn.initializers.zeros, (self.dim,), self.param_dtype)
         x32 = x.astype(jnp.float32)
-        mean = jnp.mean(x32, axis=(1, 2), keepdims=True)
-        var = jnp.mean(jnp.square(x32 - mean), axis=(1, 2), keepdims=True)
-        y = (x32 - mean) * jax.lax.rsqrt(var + self.eps)
+        m1 = jnp.mean(x32, axis=(1, 2), keepdims=True)
+        m2 = jnp.mean(jnp.square(x32), axis=(1, 2), keepdims=True)
+        var = jnp.maximum(m2 - jnp.square(m1), 0.0)
+        y = (x32 - m1) * jax.lax.rsqrt(var + self.eps)
         y = y * scale.astype(jnp.float32) + bias.astype(jnp.float32)
         return y.astype(self.dtype)
 
