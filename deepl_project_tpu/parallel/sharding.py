@@ -87,7 +87,8 @@ def param_shardings(mesh: Mesh, params: Any, mode: str = "replicate",
                                   is_leaf=lambda x: isinstance(x, P))
 
 
-def shard_params(mesh: Mesh, params: Any, mode: str = "replicate") -> Any:
+def shard_params(mesh: Mesh, params: Any, mode: str = "replicate",
+                 fsdp_min_size: int = 2 ** 16) -> Any:
     """Place a parameter pytree onto the mesh under the given strategy."""
-    shardings = param_shardings(mesh, params, mode)
+    shardings = param_shardings(mesh, params, mode, fsdp_min_size)
     return jax.tree_util.tree_map(jax.device_put, params, shardings)

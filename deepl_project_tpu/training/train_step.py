@@ -77,12 +77,17 @@ def make_train_step(
     disc_apply: Callable | None = None,
     accum_steps: int = 1,
     donate: bool = True,
+    param_shardings: Any | None = None,
 ):
     """Build the jitted train step.
 
     Returns fn(state, batch, rng) -> (new_state, metrics). ``batch`` is
     [B, H, W, C] images in [0, 1]; with accum_steps > 1, B must divide evenly
     and the step scans over microbatches of B // accum_steps.
+
+    param_shardings: optional NamedSharding pytree matching state.params;
+    pins the updated params (and their grads) to the FSDP/tensor layout so
+    XLA doesn't re-replicate them through the optimizer update.
     """
 
     def compute_grads(params, batch, rng):
@@ -125,9 +130,14 @@ def make_train_step(
     def train_step(state: TrainState, batch: jax.Array, rng: jax.Array):
         rng = jax.random.fold_in(rng, state.step)
         grads, metrics = compute_grads(state.params, batch, rng)
+        if param_shardings is not None:
+            grads = jax.lax.with_sharding_constraint(grads, param_shardings)
         metrics["grad_norm"] = optax.global_norm(grads)
         updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
+        if param_shardings is not None:
+            new_params = jax.lax.with_sharding_constraint(
+                new_params, param_shardings)
         new_state = state.replace(step=state.step + 1, params=new_params,
                                   opt_state=new_opt_state)
         return new_state, metrics

@@ -112,6 +112,39 @@ def test_tensor_parallel_forward_matches_replicated(rng):
                                rtol=2e-4, atol=1e-5)
 
 
+def test_fsdp_train_step_runs(rng):
+    # End-to-end: FSDP-sharded params + sharded batch through the full jitted
+    # train step (XLA all-gathers weights per layer, reduce-scatters grads).
+    import optax
+
+    model = micro_model()
+    x = jax.random.uniform(rng, (8, 16, 16, 3))
+    variables = model.init({"params": rng, "sample": rng}, x)
+    from deepl_project_tpu.losses import LossWeights
+    from deepl_project_tpu.parallel.sharding import param_shardings
+
+    mesh = create_mesh(data=4, model=2)
+    # Micro-model params are tiny; lower the FSDP size threshold so the
+    # sharding rules actually engage.
+    params = shard_params(mesh, {"model": variables["params"]}, "fsdp",
+                          fsdp_min_size=512)
+    shardings = param_shardings(mesh, {"model": variables["params"]}, "fsdp",
+                                fsdp_min_size=512)
+    tx = optax.sgd(1e-2)
+    state = init_train_state(params, tx)
+    xs = jax.device_put(x, batch_sharding(mesh))
+    step = make_train_step(model, tx,
+                           LossWeights(lpips=0.0, kl=0.0, vf=0.0, gan=0.0),
+                           donate=False, param_shardings=shardings)
+    new_state, metrics = step(state, xs, rng)
+    assert np.isfinite(float(metrics["total"]))
+    # Sharded params stay sharded after the update.
+    flat = jax.tree_util.tree_leaves(new_state.params)
+    assert any(len(p.sharding.spec) and any(s is not None
+               for s in p.sharding.spec) for p in flat
+               if hasattr(p.sharding, "spec"))
+
+
 def test_batch_sharding_layout():
     mesh = create_mesh()
     x = jnp.zeros((16, 4, 4, 3))
