@@ -56,12 +56,15 @@ def main():
     # scalar readback and uses enough iterations to amortize the ~25ms RTT.
     fetch = jax.jit(lambda o: jnp.sum(o.astype(jnp.float32)))
     float(fetch(compiled(params, x)))  # warmup
-    iters = 50
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = compiled(params, x)
-    float(fetch(out))
-    dt = time.perf_counter() - t0
+    iters = 25
+    best = float("inf")
+    for _ in range(3):  # best-of-3 windows: tunnel timing is noisy
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            out = compiled(params, x)
+        float(fetch(out))
+        best = min(best, time.perf_counter() - t0)
+    dt = best
     images_per_sec = BATCH * iters / dt
 
     if flops_per_image > 0:

@@ -28,6 +28,12 @@ from .train_step import (TrainState, init_train_state, make_train_step,
                          make_vf_proj_params)
 
 
+def jnp_zeros_like_batch(batch):
+    import jax.numpy as jnp
+
+    return jnp.zeros((1,) + tuple(batch.shape[1:]), jnp.float32)
+
+
 @dataclasses.dataclass
 class TrainerConfig:
     """Training hyperparameters (reference defaults; SURVEY.md §2.5)."""
@@ -82,10 +88,45 @@ class Trainer:
             warmup_steps=train_config.warmup_steps,
             max_grad_norm=train_config.max_grad_norm,
             freeze_encoder=train_config.freeze_encoder)
-        self.step_fn = make_train_step(
-            self.model, self.tx, train_config.weights,
-            lpips_params=lpips_params, teacher_fn=teacher_fn,
-            accum_steps=train_config.accum_steps)
+
+        # Stage 2: adversarial finetune with a real PatchGAN discriminator
+        # (the reference wires the flags but always passes discriminator=None;
+        # SURVEY.md §2.3).
+        self.use_gan = train_config.weights.gan > 0
+        if self.use_gan:
+            from ..models.discriminator import PatchDiscriminator
+            from .train_step import make_gan_train_step
+
+            self.disc = PatchDiscriminator(
+                dtype=model_config.compute_dtype,
+                param_dtype=model_config.params_dtype)
+            self.disc_tx = make_optimizer(
+                learning_rate=train_config.learning_rate,
+                warmup_steps=0, max_grad_norm=train_config.max_grad_norm)
+            self._gan_step = make_gan_train_step(
+                self.model, self.disc, self.tx, self.disc_tx,
+                train_config.weights, lpips_params=lpips_params,
+                teacher_fn=teacher_fn)
+            self._disc_state = None
+
+            def gan_adapter(state, batch, rng):
+                if self._disc_state is None:
+                    dvars = self.disc.init(
+                        jax.random.PRNGKey(train_config.seed + 1),
+                        jnp_zeros_like_batch(batch))
+                    self._disc_state = init_train_state(
+                        {"model": dvars["params"]}, self.disc_tx)
+                state, self._disc_state, metrics = self._gan_step(
+                    state, self._disc_state, batch, rng)
+                return state, metrics
+
+            self.step_fn = gan_adapter
+        else:
+            self.disc = None
+            self.step_fn = make_train_step(
+                self.model, self.tx, train_config.weights,
+                lpips_params=lpips_params, teacher_fn=teacher_fn,
+                accum_steps=train_config.accum_steps)
         self._writer = None
 
     # -- state -----------------------------------------------------------

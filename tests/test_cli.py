@@ -118,3 +118,17 @@ def test_smoke_runner():
     from deepl_project_tpu.cli.smoke_test import main
 
     assert main() == 0
+
+
+def test_trainer_gan_stage2(tmp_path):
+    # --use_gan builds the PatchGAN discriminator path end-to-end.
+    from deepl_project_tpu.cli.train import main
+
+    out = str(tmp_path / "gan_run")
+    main(["--variant", "tiny", "--data", "synthetic", "--resolution", "32",
+          "--batch_size", "2", "--num_epochs", "1", "--steps_per_epoch", "2",
+          "--lpips_weight", "0", "--vf_weight", "0", "--warmup_steps", "0",
+          "--use_gan", "--gan_weight", "0.05", "--freeze_encoder",
+          "--save_every_epochs", "1", "--log_every", "1",
+          "--output_dir", out])
+    assert os.path.isdir(os.path.join(out, "checkpoints"))
