@@ -13,9 +13,10 @@ HBM. This kernel computes softmax(q·kᵀ·scale)·v blockwise with an online
 - non-causal (the model attends globally over image tokens), no masking needed
   when N % BLOCK == 0 — shapes here are H·W with H,W powers of two.
 
-Backward: flash recompute via a query-chunked XLA pass (memory O(N·chunk), no
-N×N materialization). A full Pallas backward is a later optimization; the
-custom_vjp boundary already isolates it.
+Backward: full Pallas flash backward — the forward additionally emits the
+per-row logsumexp; dq is computed by a (bh, Nq, Nk) kernel and dk/dv by a
+(bh, Nk, Nq) kernel, each recomputing p = exp(q·kᵀ·scale − L) blockwise with
+fp32 VMEM accumulators (memory O(N·block), no N×N materialization).
 """
 
 from __future__ import annotations
@@ -33,8 +34,8 @@ DEFAULT_BLOCK_Q = 1024
 DEFAULT_BLOCK_K = 1024
 
 
-def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr, *,
-                  scale: float, kv_blocks: int):
+def _flash_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, m_scr, l_scr, acc_scr,
+                  *, scale: float, kv_blocks: int):
     j = pl.program_id(2)
 
     @pl.when(j == 0)
@@ -65,10 +66,11 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr, *,
     @pl.when(j == kv_blocks - 1)
     def _finalize():
         o_ref[0] = (acc_scr[:] / l_scr[:]).astype(o_ref.dtype)
+        lse_ref[0, 0] = (m_scr[:] + jnp.log(l_scr[:]))[:, 0]
 
 
 def _flash_forward(q, k, v, scale, block_q, block_k):
-    """q,k,v: [BH, N, D] → out [BH, N, D]."""
+    """q,k,v: [BH, N, D] → (out [BH, N, D], lse [BH, N])."""
     bh, n, d = q.shape
     block_q = min(block_q, n)
     block_k = min(block_k, n)
@@ -87,8 +89,14 @@ def _flash_forward(q, k, v, scale, block_q, block_k):
             pl.BlockSpec((1, block_k, d), lambda b, i, j: (b, j, 0)),
             pl.BlockSpec((1, block_k, d), lambda b, i, j: (b, j, 0)),
         ],
-        out_specs=pl.BlockSpec((1, block_q, d), lambda b, i, j: (b, i, 0)),
-        out_shape=jax.ShapeDtypeStruct((bh, n, d), q.dtype),
+        out_specs=[
+            pl.BlockSpec((1, block_q, d), lambda b, i, j: (b, i, 0)),
+            pl.BlockSpec((1, 1, block_q), lambda b, i, j: (b, 0, i)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((bh, n, d), q.dtype),
+            jax.ShapeDtypeStruct((bh, 1, n), jnp.float32),
+        ],
         scratch_shapes=[
             pltpu.VMEM((block_q, 1), jnp.float32),
             pltpu.VMEM((block_q, 1), jnp.float32),
@@ -100,7 +108,135 @@ def _flash_forward(q, k, v, scale, block_q, block_k):
     )(q, k, v)
 
 
-def _attention_reference_chunked(q, k, v, scale, chunk=1024):
+def _flash_bwd_dq_kernel(q_ref, k_ref, v_ref, g_ref, lse_ref, delta_ref,
+                         dq_ref, dq_scr, *, scale: float, kv_blocks: int):
+    j = pl.program_id(2)
+
+    @pl.when(j == 0)
+    def _init():
+        dq_scr[:] = jnp.zeros_like(dq_scr)
+
+    q = q_ref[0]          # [bq, d]
+    k = k_ref[0]          # [bk, d]
+    v = v_ref[0]          # [bk, d]
+    g = g_ref[0]          # [bq, d]
+    lse = lse_ref[0, 0]   # [bq]
+    delta = delta_ref[0, 0]  # [bq]
+
+    s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32) * scale
+    p = jnp.exp(s - lse[:, None])
+    dp = jax.lax.dot_general(g, v, (((1,), (1,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    ds = p * (dp - delta[:, None]) * scale
+    dq_scr[:] = dq_scr[:] + jax.lax.dot_general(
+        ds.astype(k.dtype), k, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+    @pl.when(j == kv_blocks - 1)
+    def _finalize():
+        dq_ref[0] = dq_scr[:].astype(dq_ref.dtype)
+
+
+def _flash_bwd_dkv_kernel(q_ref, k_ref, v_ref, g_ref, lse_ref, delta_ref,
+                          dk_ref, dv_ref, dk_scr, dv_scr, *, scale: float,
+                          q_blocks: int):
+    i = pl.program_id(2)
+
+    @pl.when(i == 0)
+    def _init():
+        dk_scr[:] = jnp.zeros_like(dk_scr)
+        dv_scr[:] = jnp.zeros_like(dv_scr)
+
+    q = q_ref[0]          # [bq, d]
+    k = k_ref[0]          # [bk, d]
+    v = v_ref[0]          # [bk, d]
+    g = g_ref[0]          # [bq, d]
+    lse = lse_ref[0, 0]   # [bq]
+    delta = delta_ref[0, 0]  # [bq]
+
+    s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32) * scale
+    p = jnp.exp(s - lse[:, None])  # [bq, bk]
+    dv_scr[:] = dv_scr[:] + jax.lax.dot_general(
+        p.astype(g.dtype), g, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    dp = jax.lax.dot_general(g, v, (((1,), (1,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    ds = p * (dp - delta[:, None]) * scale  # [bq, bk]
+    dk_scr[:] = dk_scr[:] + jax.lax.dot_general(
+        ds.astype(q.dtype), q, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+    @pl.when(i == q_blocks - 1)
+    def _finalize():
+        dk_ref[0] = dk_scr[:].astype(dk_ref.dtype)
+        dv_ref[0] = dv_scr[:].astype(dv_ref.dtype)
+
+
+def _flash_backward(q, k, v, out, lse, g, scale, block_q, block_k):
+    bh, n, d = q.shape
+    block_q = min(block_q, n)
+    block_k = min(block_k, n)
+    q_blocks = n // block_q
+    kv_blocks = n // block_k
+
+    # delta = rowsum(dO * O) — cheap elementwise+reduce, fused by XLA.
+    delta = jnp.sum(g.astype(jnp.float32) * out.astype(jnp.float32),
+                    axis=-1)[:, None, :]
+
+    dq = pl.pallas_call(
+        functools.partial(_flash_bwd_dq_kernel, scale=scale,
+                          kv_blocks=kv_blocks),
+        grid=(bh, q_blocks, kv_blocks),
+        in_specs=[
+            pl.BlockSpec((1, block_q, d), lambda b, i, j: (b, i, 0)),
+            pl.BlockSpec((1, block_k, d), lambda b, i, j: (b, j, 0)),
+            pl.BlockSpec((1, block_k, d), lambda b, i, j: (b, j, 0)),
+            pl.BlockSpec((1, block_q, d), lambda b, i, j: (b, i, 0)),
+            pl.BlockSpec((1, 1, block_q), lambda b, i, j: (b, 0, i)),
+            pl.BlockSpec((1, 1, block_q), lambda b, i, j: (b, 0, i)),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, d), lambda b, i, j: (b, i, 0)),
+        out_shape=jax.ShapeDtypeStruct((bh, n, d), q.dtype),
+        scratch_shapes=[pltpu.VMEM((block_q, d), jnp.float32)],
+        cost_estimate=pl.CostEstimate(
+            flops=6 * n * n * d * bh,
+            bytes_accessed=6 * bh * n * d * q.dtype.itemsize,
+            transcendentals=bh * n * n),
+    )(q, k, v, g, lse, delta)
+
+    dk, dv = pl.pallas_call(
+        functools.partial(_flash_bwd_dkv_kernel, scale=scale,
+                          q_blocks=q_blocks),
+        grid=(bh, kv_blocks, q_blocks),
+        in_specs=[
+            pl.BlockSpec((1, block_q, d), lambda b, j, i: (b, i, 0)),
+            pl.BlockSpec((1, block_k, d), lambda b, j, i: (b, j, 0)),
+            pl.BlockSpec((1, block_k, d), lambda b, j, i: (b, j, 0)),
+            pl.BlockSpec((1, block_q, d), lambda b, j, i: (b, i, 0)),
+            pl.BlockSpec((1, 1, block_q), lambda b, j, i: (b, 0, i)),
+            pl.BlockSpec((1, 1, block_q), lambda b, j, i: (b, 0, i)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, block_k, d), lambda b, j, i: (b, j, 0)),
+            pl.BlockSpec((1, block_k, d), lambda b, j, i: (b, j, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((bh, n, d), k.dtype),
+            jax.ShapeDtypeStruct((bh, n, d), v.dtype),
+        ],
+        scratch_shapes=[pltpu.VMEM((block_k, d), jnp.float32),
+                        pltpu.VMEM((block_k, d), jnp.float32)],
+        cost_estimate=pl.CostEstimate(
+            flops=8 * n * n * d * bh,
+            bytes_accessed=6 * bh * n * d * q.dtype.itemsize,
+            transcendentals=bh * n * n),
+    )(q, k, v, g, lse, delta)
+    return dq, dk, dv
+
+
+def attention_reference_chunked(q, k, v, scale, chunk=1024):
     """Memory-bounded XLA attention on [BH, N, D] (for the recompute VJP)."""
     bh, n, d = q.shape
     chunk = min(chunk, n)
@@ -123,18 +259,18 @@ def _attention_reference_chunked(q, k, v, scale, chunk=1024):
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
 def _flash(q, k, v, scale, block_q, block_k):
-    return _flash_forward(q, k, v, scale, block_q, block_k)
+    out, _ = _flash_forward(q, k, v, scale, block_q, block_k)
+    return out
 
 
 def _flash_fwd(q, k, v, scale, block_q, block_k):
-    return _flash_forward(q, k, v, scale, block_q, block_k), (q, k, v)
+    out, lse = _flash_forward(q, k, v, scale, block_q, block_k)
+    return out, (q, k, v, out, lse)
 
 
 def _flash_bwd(scale, block_q, block_k, res, g):
-    q, k, v = res
-    _, vjp = jax.vjp(
-        lambda q_, k_, v_: _attention_reference_chunked(q_, k_, v_, scale), q, k, v)
-    return vjp(g)
+    q, k, v, out, lse = res
+    return _flash_backward(q, k, v, out, lse, g, scale, block_q, block_k)
 
 
 _flash.defvjp(_flash_fwd, _flash_bwd)
