@@ -118,3 +118,21 @@ def test_depthwise_ffn_parity():
     out_j = m.apply({"params": out_tree["blk"]["ffn"]}, jnp.asarray(x))
     np.testing.assert_allclose(np.asarray(out_j), _from_torch(out_t),
                                rtol=1e-3, atol=1e-3)
+
+
+def test_load_reference_checkpoint_file(tmp_path, ref_pair):
+    # Full .pt round trip: torch.save(reference ckpt dict) -> converter ->
+    # identical outputs (the from_pretrained migration path).
+    ref, model, params = ref_pair
+    ckpt = {"epoch": 1, "global_step": 10,
+            "model_state_dict": ref.state_dict()}
+    path = str(tmp_path / "ref.pt")
+    torch.save(ckpt, path)
+
+    from deepl_project_tpu.utils.convert import load_reference_checkpoint
+
+    loaded = torch_params = load_reference_checkpoint(path, model.config)
+    z = np.random.RandomState(5).randn(1, 8, 8, 8).astype(np.float32)
+    a = model.apply({"params": params}, jnp.asarray(z), method="decode")
+    b = model.apply({"params": loaded}, jnp.asarray(z), method="decode")
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
