@@ -33,10 +33,11 @@ class TransVAEDecoder(nn.Module):
         dims = tuple(reversed(cfg.base_dims))
         num_transformer_stages = cfg.num_stages - cfg.num_cnn_stages
 
-        res_cls, tv_cls = ResBlock, TransVAEBlock
+        res_cls, tv_cls, rs_cls = ResBlock, TransVAEBlock, Upsample
         if cfg.remat:
             res_cls = nn.remat(ResBlock)
             tv_cls = nn.remat(TransVAEBlock, static_argnums=(2,))
+            rs_cls = nn.remat(Upsample)
 
         h = nn.Conv(dims[0], (3, 3), padding=((1, 1), (1, 1)),
                     dtype=dtype, param_dtype=pdtype,
@@ -57,7 +58,7 @@ class TransVAEDecoder(nn.Module):
                     h = res_cls(dim, dim, dtype=dtype, param_dtype=pdtype,
                                 name=f"stage{i}_block{j}")(h)
             if i < cfg.num_stages - 1:
-                h = Upsample(dim, dims[i + 1], use_dc_path=cfg.use_dc_path,
+                h = rs_cls(dim, dims[i + 1], use_dc_path=cfg.use_dc_path,
                              dtype=dtype, param_dtype=pdtype, name=f"up{i}")(h)
 
         h = GroupNorm(gn_groups(dims[-1]), dims[-1], dtype=dtype, param_dtype=pdtype, name="norm_out")(h)

@@ -28,10 +28,11 @@ class TransVAEEncoder(nn.Module):
     def __call__(self, x: jax.Array, deterministic: bool = True) -> jax.Array:
         cfg = self.config
         dtype, pdtype = cfg.compute_dtype, cfg.params_dtype
-        res_cls, tv_cls = ResBlock, TransVAEBlock
+        res_cls, tv_cls, rs_cls = ResBlock, TransVAEBlock, Downsample
         if cfg.remat:
             res_cls = nn.remat(ResBlock)
             tv_cls = nn.remat(TransVAEBlock, static_argnums=(2,))
+            rs_cls = nn.remat(Downsample)
 
         h = nn.Conv(cfg.base_dims[0], (3, 3), padding=((1, 1), (1, 1)),
                     dtype=dtype, param_dtype=pdtype,
@@ -52,7 +53,7 @@ class TransVAEEncoder(nn.Module):
                                dtype=dtype, param_dtype=pdtype,
                                name=f"stage{i}_block{j}")(h, deterministic)
             if i < cfg.num_stages - 1:
-                h = Downsample(dim, cfg.base_dims[i + 1], use_dc_path=cfg.use_dc_path,
+                h = rs_cls(dim, cfg.base_dims[i + 1], use_dc_path=cfg.use_dc_path,
                                dtype=dtype, param_dtype=pdtype,
                                name=f"down{i}")(h)
         return h
