@@ -46,6 +46,7 @@ class TransVAEConfig:
     dtype: str = "bfloat16"  # compute dtype
     param_dtype: str = "float32"
     remat: bool = False  # per-block gradient checkpointing
+    remat_resample: bool = False  # also remat Down/Upsample (max memory saving)
     attention_impl: str = "auto"  # 'auto' | 'xla' | 'pallas'
 
     @property

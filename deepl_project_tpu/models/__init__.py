@@ -1,8 +1,10 @@
 from .decoder import TransVAEDecoder
 from .encoder import TransVAEEncoder
-from .transvae import TransVAE, count_params, create_transvae, from_pretrained, init_params
+from .transvae import (TransVAE, adaptive_gan_weight, count_params, create_transvae,
+                       from_pretrained, get_last_layer, init_params)
 
 __all__ = [
     "TransVAE", "TransVAEEncoder", "TransVAEDecoder",
     "create_transvae", "init_params", "count_params", "from_pretrained",
+    "get_last_layer", "adaptive_gan_weight",
 ]

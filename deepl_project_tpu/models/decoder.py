@@ -37,6 +37,7 @@ class TransVAEDecoder(nn.Module):
         if cfg.remat:
             res_cls = nn.remat(ResBlock)
             tv_cls = nn.remat(TransVAEBlock, static_argnums=(2,))
+        if cfg.remat and cfg.remat_resample:
             rs_cls = nn.remat(Upsample)
 
         h = nn.Conv(dims[0], (3, 3), padding=((1, 1), (1, 1)),

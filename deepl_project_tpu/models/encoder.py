@@ -32,6 +32,7 @@ class TransVAEEncoder(nn.Module):
         if cfg.remat:
             res_cls = nn.remat(ResBlock)
             tv_cls = nn.remat(TransVAEBlock, static_argnums=(2,))
+        if cfg.remat and cfg.remat_resample:
             rs_cls = nn.remat(Downsample)
 
         h = nn.Conv(cfg.base_dims[0], (3, 3), padding=((1, 1), (1, 1)),

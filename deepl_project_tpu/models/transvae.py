@@ -103,6 +103,26 @@ def count_params(params: Any) -> dict:
     return out
 
 
+def get_last_layer(params: Any) -> jax.Array:
+    """The decoder's final conv kernel — used for adaptive GAN weighting
+    (ref: transvae.py:260-262 ``get_last_layer``; the reference defines it but
+    never calls it). Accepts either the model param tree or {'model': ...}."""
+    p = params["model"] if "model" in params and "decoder" not in params else params
+    return p["decoder"]["conv_out"]["kernel"]
+
+
+def adaptive_gan_weight(rec_grad: jax.Array, gan_grad: jax.Array,
+                        max_weight: float = 1e4) -> jax.Array:
+    """VQGAN-style adaptive weight: ||∇_last rec|| / ||∇_last gan|| — balances
+    the adversarial term against the reconstruction losses. This is what
+    ``get_last_layer`` exists for; the reference never finished the wiring
+    (SURVEY.md §2.3 note)."""
+    norm_rec = jnp.linalg.norm(rec_grad)
+    norm_gan = jnp.linalg.norm(gan_grad)
+    weight = norm_rec / (norm_gan + 1e-4)
+    return jax.lax.stop_gradient(jnp.clip(weight, 0.0, max_weight))
+
+
 def from_pretrained(model_name: str, checkpoint_dir: str | None = None, **kw):
     """Build a model (and load weights when a checkpoint is given).
 

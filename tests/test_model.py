@@ -144,3 +144,21 @@ def test_logvar_clamp_contract(rng):
     assert float(jnp.max(jnp.abs(mu))) <= 50.0
     assert float(jnp.max(logvar)) <= 20.0
     assert float(jnp.min(logvar)) >= -30.0
+
+
+def test_get_last_layer_and_adaptive_gan_weight(rng):
+    import jax.numpy as jnp
+
+    from deepl_project_tpu.models import adaptive_gan_weight, get_last_layer
+
+    model = tiny_model()
+    x = jax.random.normal(rng, (1, 32, 32, 3))
+    variables = model.init({"params": rng, "sample": rng}, x)
+    last = get_last_layer(variables["params"])
+    assert last.shape[-1] == 3  # conv_out kernel HWIO → 3 output channels
+    # Also works with the train-state {'model': ...} wrapper.
+    last2 = get_last_layer({"model": variables["params"]})
+    np.testing.assert_array_equal(last, last2)
+
+    w = adaptive_gan_weight(jnp.ones((3, 3)) * 2.0, jnp.ones((3, 3)))
+    assert float(w) == pytest.approx(2.0, rel=1e-3)
