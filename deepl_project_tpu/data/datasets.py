@@ -51,12 +51,21 @@ def image_folder_dataset(root: str, resolution: int = 256,
     if num_shards and num_shards > 1:
         idx = shard_index or 0
         files = files[idx::num_shards]
+    # Prefer the native C++ decoder (threaded, GIL-free) when built.
+    from . import native_loader
+
+    native = native_loader.native_available()
     epoch = 0
     while True:
         order = list(files)
         if shuffle:
             random.Random(seed + epoch).shuffle(order)
         for path in order:
+            if native:
+                sample = native_loader.decode_file(path, resolution)
+                if sample is not None:
+                    yield sample
+                continue
             try:
                 yield preprocess_file(path, resolution)
             except Exception:
