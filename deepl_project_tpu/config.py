@@ -47,6 +47,10 @@ class TransVAEConfig:
     param_dtype: str = "float32"
     remat: bool = False  # per-block gradient checkpointing
     remat_resample: bool = False  # also remat Down/Upsample (max memory saving)
+    # Compile each stage's block loop as one lax.scan body with stacked params
+    # (smaller XLA program; required to compile large/huge/giant training
+    # graphs). Param layout changes — see ops/stack.py converters.
+    scan_blocks: bool = False
     attention_impl: str = "auto"  # 'auto' | 'xla' | 'pallas'
 
     @property

@@ -17,6 +17,7 @@ from flax import linen as nn
 
 from ..config import TransVAEConfig
 from ..ops.blocks import ResBlock, TransVAEBlock
+from ..ops.stack import BlockStack
 from ..ops.ffn import _conv_kernel_init
 from ..ops.norms import GroupNorm, gn_groups
 from ..ops.resample import Upsample
@@ -46,18 +47,33 @@ class TransVAEDecoder(nn.Module):
 
         for i in range(cfg.num_stages):
             dim = dims[i]
-            for j in range(depths[i]):
-                if i < num_transformer_stages:
-                    h = tv_cls(dim, mlp_ratio=cfg.mlp_ratio, head_dim=cfg.head_dim,
-                               use_rope=cfg.use_rope, rope_pairing=cfg.rope_pairing,
-                               use_conv_ffn=cfg.use_conv_ffn,
-                               conv_ffn_type=cfg.conv_ffn_type, dropout=cfg.dropout,
-                               attention_impl=cfg.attention_impl,
-                               dtype=dtype, param_dtype=pdtype,
-                               name=f"stage{i}_block{j}")(h, deterministic)
-                else:
-                    h = res_cls(dim, dim, dtype=dtype, param_dtype=pdtype,
-                                name=f"stage{i}_block{j}")(h)
+            is_cnn = i >= num_transformer_stages
+            res_kwargs = dict(in_channels=dim, out_channels=dim,
+                              dtype=dtype, param_dtype=pdtype)
+            tv_kwargs = dict(dim=dim, mlp_ratio=cfg.mlp_ratio,
+                             head_dim=cfg.head_dim, use_rope=cfg.use_rope,
+                             rope_pairing=cfg.rope_pairing,
+                             use_conv_ffn=cfg.use_conv_ffn,
+                             conv_ffn_type=cfg.conv_ffn_type,
+                             dropout=cfg.dropout,
+                             attention_impl=cfg.attention_impl,
+                             dtype=dtype, param_dtype=pdtype)
+            if cfg.scan_blocks:
+                h = BlockStack(
+                    block_cls=ResBlock if is_cnn else TransVAEBlock,
+                    block_kwargs=tuple(sorted(
+                        (res_kwargs if is_cnn else tv_kwargs).items())),
+                    depth=depths[i], remat=cfg.remat,
+                    pass_deterministic=not is_cnn,
+                    name=f"stage{i}_blocks")(h, deterministic)
+            else:
+                for j in range(depths[i]):
+                    if is_cnn:
+                        h = res_cls(**res_kwargs,
+                                    name=f"stage{i}_block{j}")(h)
+                    else:
+                        h = tv_cls(**tv_kwargs,
+                                   name=f"stage{i}_block{j}")(h, deterministic)
             if i < cfg.num_stages - 1:
                 h = rs_cls(dim, dims[i + 1], use_dc_path=cfg.use_dc_path,
                              dtype=dtype, param_dtype=pdtype, name=f"up{i}")(h)
