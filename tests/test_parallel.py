@@ -152,3 +152,40 @@ def test_batch_sharding_layout():
     assert xs.sharding.spec == P("data")
     # Each device holds 1/8 of the batch.
     assert xs.addressable_shards[0].data.shape[0] == 2
+
+
+def test_ring_attention_matches_full(rng):
+    # Context-parallel ring attention over the 8-device token axis must equal
+    # single-device full attention exactly (online-softmax merge is exact).
+    from deepl_project_tpu.parallel.ring_attention import (
+        sequence_parallel_attention)
+
+    b, n, h, d = 2, 64, 2, 16
+    ks = jax.random.split(rng, 3)
+    q, k, v = (jax.random.normal(kk, (b, n, h, d), jnp.float32) for kk in ks)
+    scale = d ** -0.5
+    from deepl_project_tpu.ops.attention import xla_attention
+
+    ref = xla_attention(q, k, v, scale)
+    mesh = create_mesh()  # 8 x 1
+    out = sequence_parallel_attention(mesh, q, k, v, scale, axis="data")
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_ring_attention_bf16(rng):
+    from deepl_project_tpu.ops.attention import xla_attention
+    from deepl_project_tpu.parallel.ring_attention import (
+        sequence_parallel_attention)
+
+    b, n, h, d = 1, 128, 1, 32
+    ks = jax.random.split(rng, 3)
+    q, k, v = (jax.random.normal(kk, (b, n, h, d), jnp.bfloat16) for kk in ks)
+    scale = d ** -0.5
+    ref = xla_attention(q.astype(jnp.float32), k.astype(jnp.float32),
+                        v.astype(jnp.float32), scale)
+    mesh = create_mesh()
+    out = sequence_parallel_attention(mesh, q, k, v, scale, axis="data")
+    assert out.dtype == jnp.bfloat16
+    np.testing.assert_allclose(np.asarray(out, np.float32), np.asarray(ref),
+                               rtol=0.05, atol=0.05)
