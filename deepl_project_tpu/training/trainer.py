@@ -159,6 +159,12 @@ class Trainer:
             ) -> TrainState:
         from ..utils.logging import MetricWriter, StepTimer
 
+        # Dev-mode numerical sanitizer (SURVEY.md §5 "race detection" analogue):
+        # the NaN-guard in the optimizer chain skips bad steps in production;
+        # DEEPL_DEBUG_NANS=1 additionally makes JAX raise at the faulting op.
+        if os.environ.get("DEEPL_DEBUG_NANS"):
+            jax.config.update("jax_debug_nans", True)
+
         rng = jax.random.PRNGKey(self.cfg.seed)
         if state is None:
             state = self.create_state(rng)
