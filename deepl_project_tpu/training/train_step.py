@@ -171,21 +171,54 @@ def make_gan_train_step(
     lpips_params: Any | None = None,
     teacher_fn: Callable | None = None,
     disc_loss_kind: str = "hinge",
+    adaptive_weight: bool = False,
 ):
     """Stage-2 adversarial step: one generator update + one discriminator
     update per call, compiled together.
 
     The reference wires GAN flags but never ships a working stage 2
     (discriminator=None everywhere; SURVEY.md §2.3). This makes it real.
+    With adaptive_weight=True the GAN term is rescaled by the VQGAN rule
+    ||∇_last L_rec|| / ||∇_last L_gan|| computed on the decoder's final conv
+    (what the reference's unused get_last_layer exists for).
     Returns fn(gen_state, disc_state, batch, rng) -> (gen_state, disc_state,
     metrics).
     """
+    from ..models.transvae import adaptive_gan_weight, get_last_layer
 
     def gen_loss_fn(params, disc_params, images, rng):
         def disc_apply(img):
             return disc.apply({"params": disc_params}, img)
-        return _loss_and_metrics(model, params, images, rng, weights,
-                                 lpips_params, teacher_fn, disc_apply)
+        total, metrics = _loss_and_metrics(model, params, images, rng, weights,
+                                           lpips_params, teacher_fn, disc_apply)
+        if adaptive_weight and weights.gan > 0:
+            rec = metrics["l1"] + metrics["lpips"]
+
+            def with_last_kernel(kernel):
+                m2 = dict(params["model"])
+                dec = dict(m2["decoder"])
+                co = dict(dec["conv_out"])
+                co["kernel"] = kernel
+                dec["conv_out"] = co
+                m2["decoder"] = dec
+                return {**params, "model": m2}
+
+            def last_grad(loss_name):
+                # Differentiating w.r.t. the final conv kernel only — backprop
+                # stops at the output head, so this costs one extra forward +
+                # a tiny backward, not a full model backward.
+                def f(kernel):
+                    _, m = _loss_and_metrics(
+                        model, with_last_kernel(kernel), images, rng, weights,
+                        lpips_params, teacher_fn, disc_apply)
+                    return m[loss_name]
+                return jax.grad(f)(get_last_layer(params))
+
+            w = adaptive_gan_weight(last_grad("l1"), last_grad("gan"))
+            total = rec + metrics["kl"] + metrics["vf"] + w * metrics["gan"]
+            metrics["adaptive_gan_weight"] = w
+            metrics["total"] = total
+        return total, metrics
 
     def disc_loss_fn(disc_params, real, fake):
         real_logits = disc.apply({"params": disc_params}, real)

@@ -145,11 +145,15 @@ class Trainer:
         step = latest_step(ckpt_dir)
         if step is None:
             return state, 0
-        payload, meta = restore_checkpoint(ckpt_dir, abstract_state={
-            "params": state.params, "opt_state": state.opt_state,
-            "step": state.step})
+        payload, meta = restore_checkpoint(ckpt_dir)
         state = state.replace(step=payload["step"], params=payload["params"],
                               opt_state=payload["opt_state"])
+        if self.use_gan and "disc_params" in payload:
+            from .train_step import init_train_state as _init
+
+            self._disc_state = TrainState(
+                step=payload["step"], params=payload["disc_params"],
+                opt_state=payload["disc_opt_state"])
         print(f"[trainer] resumed from step {int(state.step)} "
               f"(epoch {meta['epoch']})")
         return state, meta["epoch"]
@@ -200,8 +204,11 @@ class Trainer:
 
     def save(self, state: TrainState, epoch: int) -> None:
         ckpt_dir = os.path.join(self.cfg.output_dir, "checkpoints")
-        save_checkpoint(ckpt_dir, int(state.step),
-                        {"params": state.params, "opt_state": state.opt_state,
-                         "step": state.step},
+        payload = {"params": state.params, "opt_state": state.opt_state,
+                   "step": state.step}
+        if self.use_gan and getattr(self, "_disc_state", None) is not None:
+            payload["disc_params"] = self._disc_state.params
+            payload["disc_opt_state"] = self._disc_state.opt_state
+        save_checkpoint(ckpt_dir, int(state.step), payload,
                         epoch=epoch, config=self.model_config)
         print(f"[trainer] saved checkpoint at step {int(state.step)}")

@@ -203,3 +203,23 @@ def test_eval_step(setup, rng):
     recon, losses = ev(state.params, x)
     assert recon.shape == x.shape
     assert float(jnp.min(recon)) >= 0.0 and float(jnp.max(recon)) <= 1.0
+
+
+def test_gan_adaptive_weight_step(rng):
+    # Adaptive VQGAN weighting path compiles and yields a finite weight.
+    model = micro_model()
+    disc = PatchDiscriminator(base_channels=8, num_layers=2, dtype=jnp.float32)
+    x = jax.random.uniform(rng, (2, 16, 16, 3))
+    mvars = model.init({"params": rng, "sample": rng}, x)
+    dvars = disc.init(rng, x)
+    gen_tx = make_optimizer(1e-3, 0)
+    disc_tx = make_optimizer(1e-3, 0)
+    gen_state = init_train_state({"model": mvars["params"]}, gen_tx)
+    disc_state = init_train_state({"model": dvars["params"]}, disc_tx)
+    step = make_gan_train_step(
+        model, disc, gen_tx, disc_tx,
+        LossWeights(lpips=0.0, kl=0.0, vf=0.0, gan=0.05),
+        adaptive_weight=True)
+    gen_state, disc_state, metrics = step(gen_state, disc_state, x, rng)
+    assert np.isfinite(float(metrics["adaptive_gan_weight"]))
+    assert np.isfinite(float(metrics["total"]))
