@@ -26,6 +26,8 @@ def main(argv=None):
     p.add_argument("--batch_size", type=int, default=16)
     p.add_argument("--num_batches", type=int, default=None)
     p.add_argument("--no_lpips", action="store_true")
+    p.add_argument("--rfid", action="store_true",
+                   help="also compute VGG-feature rFID (relative metric)")
     p.add_argument("--output_dir", default="eval_out")
     p.add_argument("--save_grids", type=int, default=4)
     args = p.parse_args(argv)
@@ -46,6 +48,7 @@ def main(argv=None):
     results = evaluate_model(model, params, batches,
                              use_lpips=not args.no_lpips,
                              max_batches=args.num_batches,
+                             compute_rfid=args.rfid,
                              output_dir=args.output_dir,
                              save_grids=args.save_grids)
     print(json.dumps(results, indent=2))

@@ -44,17 +44,37 @@ def make_metric_step(model: TransVAE, lpips_params: Any | None = None):
     return step
 
 
+def make_vgg_feature_fn(lpips_params: Any):
+    """Perceptual feature extractor for FID-style metrics: spatially-pooled
+    deepest VGG tap. NOTE: this is a VGG-feature FID, not InceptionV3 rFID —
+    relative comparisons are valid, absolute values are not comparable to
+    paper Table 1 (Inception weights are converter-gated like LPIPS)."""
+    from .losses.lpips import _vgg_features
+
+    @jax.jit
+    def feature_fn(images01):
+        x = jnp.asarray(images01, jnp.float32) * 2.0 - 1.0
+        taps = _vgg_features(lpips_params, x)
+        return jnp.mean(taps[-1], axis=(1, 2))  # [B, 512]
+
+    return feature_fn
+
+
 def evaluate_model(model: TransVAE, params: Any,
                    batches: Iterator[np.ndarray],
                    use_lpips: bool = True,
                    max_batches: int | None = None,
                    output_dir: str | None = None,
-                   save_grids: int = 0) -> dict:
+                   save_grids: int = 0,
+                   compute_rfid: bool = False) -> dict:
     """Run reconstruction metrics over batches; returns {metric: summary}
     and optionally writes metrics.json + comparison grids."""
-    lpips_params = get_lpips_params() if use_lpips else None
-    step = make_metric_step(model, lpips_params)
+    lpips_params = get_lpips_params() if (use_lpips or compute_rfid) else None
+    step = make_metric_step(model, lpips_params if use_lpips else None)
     model_params = params["model"] if isinstance(params, dict) and "model" in params else params
+    feature_fn = make_vgg_feature_fn(lpips_params) if compute_rfid else None
+    real_feats: list = []
+    fake_feats: list = []
 
     collected: dict[str, list] = {}
     grids_saved = 0
@@ -65,6 +85,9 @@ def evaluate_model(model: TransVAE, params: Any,
         recon, metrics = step(model_params, jnp.asarray(batch))
         for name, vals in metrics.items():
             collected.setdefault(name, []).append(np.asarray(vals))
+        if feature_fn is not None:
+            real_feats.append(np.asarray(feature_fn(batch)))
+            fake_feats.append(np.asarray(feature_fn(recon)))
         n_images += batch.shape[0]
         if output_dir and grids_saved < save_grids:
             pair = np.concatenate([np.asarray(batch, np.float32),
@@ -77,6 +100,11 @@ def evaluate_model(model: TransVAE, params: Any,
     results = {name: summarize(np.concatenate(vals))
                for name, vals in collected.items()}
     results["num_images"] = n_images
+    if feature_fn is not None and n_images > 1:
+        from .utils.fid import fid_from_features
+
+        results["vgg_rfid"] = fid_from_features(
+            np.concatenate(real_feats), np.concatenate(fake_feats))
     if output_dir:
         os.makedirs(output_dir, exist_ok=True)
         with open(os.path.join(output_dir, "metrics.json"), "w") as f:

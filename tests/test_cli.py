@@ -132,3 +132,15 @@ def test_trainer_gan_stage2(tmp_path):
           "--save_every_epochs", "1", "--log_every", "1",
           "--output_dir", out])
     assert os.path.isdir(os.path.join(out, "checkpoints"))
+
+
+def test_evaluate_with_vgg_rfid(model_and_params):
+    # vgg_rfid path: random-init VGG (no weights file) still yields a finite
+    # relative metric over >=2 batches.
+    model, params = model_and_params
+    batches = [np.random.rand(4, 16, 16, 3).astype(np.float32)
+               for _ in range(2)]
+    results = evaluate_model(model, params, iter(batches), use_lpips=False,
+                             compute_rfid=True)
+    assert "vgg_rfid" in results
+    assert np.isfinite(results["vgg_rfid"])
