@@ -33,6 +33,34 @@ def synthetic_dataset(resolution: int = 256, num_samples: int = 1024,
         yield rng.random((resolution, resolution, 3), np.float32)
 
 
+def synthetic_shapes_dataset(resolution: int = 256, num_samples: int = 1024,
+                             seed: int = 0) -> Iterator[np.ndarray]:
+    """Structured synthetic images (gradient background + random rectangles/
+    ellipses). Unlike uniform noise these are compressible, so reconstruction
+    PSNR is meaningful — used for the quick-verify ladder
+    (EXPERIMENTS.md:424-437 'PSNR > 25 dB') without a real dataset."""
+    rng = np.random.default_rng(seed)
+    yy, xx = np.meshgrid(np.linspace(0, 1, resolution),
+                         np.linspace(0, 1, resolution), indexing="ij")
+    for _ in range(num_samples):
+        c0 = rng.random(3)
+        c1 = rng.random(3)
+        angle = rng.random() * 2 * np.pi
+        t = (np.cos(angle) * xx + np.sin(angle) * yy)
+        t = (t - t.min()) / (np.ptp(t) + 1e-9)
+        img = c0 + t[..., None] * (c1 - c0)
+        for _ in range(rng.integers(2, 6)):
+            color = rng.random(3)
+            cy, cx = rng.random(2)
+            h, w = 0.05 + 0.3 * rng.random(2)
+            if rng.random() < 0.5:  # rectangle
+                mask = ((np.abs(yy - cy) < h) & (np.abs(xx - cx) < w))
+            else:  # ellipse
+                mask = (((yy - cy) / h) ** 2 + ((xx - cx) / w) ** 2) < 1.0
+            img = np.where(mask[..., None], color, img)
+        yield img.astype(np.float32)
+
+
 def image_folder_dataset(root: str, resolution: int = 256,
                          shuffle: bool = True, seed: int = 42,
                          shard_index: int | None = None,
@@ -128,10 +156,11 @@ def hf_streaming_dataset(name: str = "evanarlian/imagenet_1k_resized_256",
 def make_dataset(source: str, resolution: int = 256, **kw) -> Iterator[np.ndarray]:
     """Dispatch by source string: 'synthetic', 'hf:<name>', or a local path
     (COCO layout auto-detected)."""
-    if source == "synthetic":
+    if source in ("synthetic", "shapes"):
         kw.pop("shard_index", None)
         kw.pop("num_shards", None)
-        return synthetic_dataset(resolution, **kw)
+        fn = synthetic_dataset if source == "synthetic" else synthetic_shapes_dataset
+        return fn(resolution, **kw)
     if source.startswith("hf:"):
         return hf_streaming_dataset(source[3:], resolution=resolution, **kw)
     if os.path.isdir(os.path.join(source, "annotations")):
