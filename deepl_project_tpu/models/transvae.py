@@ -34,10 +34,19 @@ class TransVAE(nn.Module):
         cfg = self.config
         self.encoder = TransVAEEncoder(cfg, name="encoder")
         self.decoder = TransVAEDecoder(cfg, name="decoder")
+        # Latent heads use a small-variance init instead of the reference's
+        # Kaiming (ref: transvae.py:157-161). With Kaiming, the deep residual
+        # encoder's output scale (absmax ~2e3 at init) saturates the mu/logvar
+        # clamps: gradients vanish at the clamp, logvar pins at +20 and injects
+        # e^10-scale sampling noise — the instability the reference's NaN
+        # guards paper over (SURVEY.md §2.9.3). Small init keeps mu/logvar
+        # O(1) at the start of training; converted checkpoints are unaffected
+        # (init only matters for fresh training).
         conv = lambda name: nn.Conv(  # noqa: E731
             cfg.latent_dim, (3, 3), padding=((1, 1), (1, 1)),
             dtype=cfg.compute_dtype, param_dtype=cfg.params_dtype,
-            kernel_init=_conv_kernel_init(), name=name)
+            kernel_init=nn.initializers.variance_scaling(
+                1e-4, "fan_in", "truncated_normal"), name=name)
         self.conv_mu = conv("conv_mu")
         self.conv_logvar = conv("conv_logvar")
 
