@@ -149,12 +149,12 @@ def test_tiny_convergence(rng):
                            donate=False)
     _, m0 = step(state, x, rng)
     first = float(m0["total"])
-    for _ in range(200):
+    for _ in range(300):
         state, metrics = step(state, x, rng)
     last = float(metrics["total"])
-    # Reparameterization noise (std≈1 at init) floors the L1; ~50% reduction in
-    # 200 steps is the observed trajectory for this micro config.
-    assert last < 0.65 * first, (first, last)
+    # Reparameterization noise (std≈1 at init) floors the L1; ~47% reduction
+    # in 300 steps is the observed trajectory for this micro config.
+    assert last < 0.6 * first, (first, last)
 
 
 def test_checkpoint_roundtrip(tmp_path, setup, rng):
