@@ -190,3 +190,17 @@ def test_scan_blocks_equivalence(rng):
     for p1, p2 in zip(jax.tree_util.tree_leaves(v["params"]),
                       jax.tree_util.tree_leaves(back)):
         np.testing.assert_array_equal(np.asarray(p1), np.asarray(p2))
+
+
+def test_transvae_shim_import():
+    # Reference import surface works (ref: transvae/__init__.py:5-9).
+    import sys
+    sys.path.insert(0, "/root/repo")
+    from transvae import TransVAE as ShimVAE, TransVAELoss, create_transvae as shim_create
+
+    m = shim_create(variant="tiny", compression_ratio=16, latent_dim=32)
+    assert m.config.latent_dim == 32
+    loss = TransVAELoss(lpips_weight=0.0, vf_weight=0.0)
+    out = loss(jnp.zeros((1, 16, 16, 3)), jnp.zeros((1, 16, 16, 3)),
+               jnp.zeros((1, 1, 1, 4)), jnp.zeros((1, 1, 1, 4)))
+    assert "total" in out
