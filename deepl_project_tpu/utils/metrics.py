@@ -50,8 +50,11 @@ def ssim(x: jax.Array, y: jax.Array, max_val: float = 1.0,
     mu_x = filt(x)
     mu_y = filt(y)
     mu_x2, mu_y2, mu_xy = mu_x * mu_x, mu_y * mu_y, mu_x * mu_y
-    sigma_x = filt(x * x) - mu_x2
-    sigma_y = filt(y * y) - mu_y2
+    # Clamp variance estimates at 0: on perfectly flat windows the E[x^2]-E[x]^2
+    # estimator can go slightly negative in fp32, collapsing the denominator
+    # and exploding individual windows to |SSIM| >> 1.
+    sigma_x = jnp.maximum(filt(x * x) - mu_x2, 0.0)
+    sigma_y = jnp.maximum(filt(y * y) - mu_y2, 0.0)
     sigma_xy = filt(x * y) - mu_xy
     ssim_map = ((2 * mu_xy + c1) * (2 * sigma_xy + c2)) / (
         (mu_x2 + mu_y2 + c1) * (sigma_x + sigma_y + c2))
