@@ -42,6 +42,13 @@ class TransVAEConfig:
     # Numerical-stability contract (patched reference semantics, SURVEY.md §2.9.3):
     mu_clip: float = 50.0
     logvar_clip: tuple = (-30.0, 20.0)
+    # GroupNorm on the encoder output before the mu/logvar heads. The reference
+    # has no norm there (asymmetric with its own decoder's norm_out); the raw
+    # encoder scale then grows unboundedly during training until the hard
+    # clamps saturate (zero gradient) and logvar freezes at +20 — observed
+    # divergence at ~7k steps. False = exact reference structure (required for
+    # converted checkpoints); True recommended for training from scratch.
+    norm_latents: bool = False
     # TPU execution policy.
     dtype: str = "bfloat16"  # compute dtype
     param_dtype: str = "float32"

@@ -49,10 +49,19 @@ class TransVAE(nn.Module):
                 1e-4, "fan_in", "truncated_normal"), name=name)
         self.conv_mu = conv("conv_mu")
         self.conv_logvar = conv("conv_logvar")
+        if cfg.norm_latents:
+            from ..ops.norms import GroupNorm, gn_groups
+
+            final_dim = cfg.base_dims[-1]
+            self.latent_norm = GroupNorm(
+                gn_groups(final_dim), final_dim, dtype=cfg.compute_dtype,
+                param_dtype=cfg.params_dtype, name="latent_norm")
 
     def encode(self, x: jax.Array, deterministic: bool = True):
         """x: [B, H, W, C] -> (mu, logvar), each [B, H/f, W/f, D]."""
         h = self.encoder(x, deterministic)
+        if self.config.norm_latents:
+            h = self.latent_norm(h)
         return self.conv_mu(h), self.conv_logvar(h)
 
     def decode(self, z: jax.Array, deterministic: bool = True) -> jax.Array:
