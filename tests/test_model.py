@@ -194,7 +194,12 @@ def test_scan_blocks_equivalence(rng):
 
 def test_transvae_shim_import():
     # Reference import surface works (ref: transvae/__init__.py:5-9).
+    # test_parity puts the reference tree on sys.path (its own 'transvae'
+    # package) — evict any cached module and prefer the repo shim.
     import sys
+    sys.modules.pop("transvae", None)
+    for mod in [m for m in sys.modules if m.startswith("transvae.")]:
+        sys.modules.pop(mod)
     sys.path.insert(0, "/root/repo")
     from transvae import TransVAE as ShimVAE, TransVAELoss, create_transvae as shim_create
 
