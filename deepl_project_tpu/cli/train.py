@@ -25,6 +25,15 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--latent_dim", type=int, default=None)
     p.add_argument("--config", default=None, help="YAML config path")
     p.add_argument("--gradient_checkpointing", action="store_true")
+    p.add_argument("--norm_latents", action="store_true", default=True,
+                   help="GroupNorm before the latent heads (training "
+                        "stability; disable only for reference-checkpoint "
+                        "weight parity)")
+    p.add_argument("--no_norm_latents", dest="norm_latents",
+                   action="store_false")
+    p.add_argument("--scan_blocks", action="store_true",
+                   help="compile per-stage block loops as lax.scan "
+                        "(large/huge/giant training)")
     # Data
     p.add_argument("--data", default="synthetic",
                    help="'synthetic', 'hf:<dataset>', or a local path")
@@ -65,7 +74,8 @@ def load_yaml_config(path: str, args: argparse.Namespace) -> dict:
     with open(path) as f:
         raw = yaml.safe_load(f) or {}
     model = raw.get("model", {})
-    for key in ("variant", "compression_ratio", "latent_dim"):
+    for key in ("variant", "compression_ratio", "latent_dim", "norm_latents",
+                "scan_blocks"):
         if key in model:
             setattr(args, key, model[key])
     training = raw.get("training", {})
@@ -90,7 +100,9 @@ def main(argv=None):
         load_yaml_config(args.config, args)
 
     model_cfg = get_config(args.variant, args.compression_ratio,
-                           args.latent_dim, remat=args.gradient_checkpointing)
+                           args.latent_dim, remat=args.gradient_checkpointing,
+                           norm_latents=args.norm_latents,
+                           scan_blocks=args.scan_blocks)
     weights = LossWeights(l1=args.l1_weight, lpips=args.lpips_weight,
                           kl=args.kl_weight, vf=args.vf_weight,
                           gan=args.gan_weight if args.use_gan else 0.0)
@@ -104,9 +116,12 @@ def main(argv=None):
         save_every_epochs=args.save_every_epochs, output_dir=args.output_dir,
         mesh_model=args.mesh_model, param_sharding=args.param_sharding)
 
-    source = make_dataset(args.data, resolution=args.resolution,
-                          **({"repeat": True} if args.data not in ("synthetic",)
-                             and not args.data.startswith("hf:") else {}))
+    synthetic_sources = ("synthetic", "shapes")
+    extra = ({"repeat": True}
+             if args.data not in synthetic_sources
+             and not args.data.startswith("hf:") else
+             {"num_samples": 10 ** 9})
+    source = make_dataset(args.data, resolution=args.resolution, **extra)
     data = batch_iterator(source, args.batch_size)
 
     trainer = Trainer(model_cfg, train_cfg)
