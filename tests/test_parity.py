@@ -23,9 +23,27 @@ if not os.path.isdir(REF_PATH):  # pragma: no cover
 
 # The reference package __init__ imports lpips (unavailable); stub it before
 # importing the model modules. We import the *reference's* code only to produce
-# golden outputs — nothing is copied.
+# golden outputs — nothing is copied. The reference package is loaded under the
+# alias 'ref_transvae' via importlib so it can't collide with this repo's
+# 'transvae' compatibility shim (which tests also import).
+import importlib  # noqa: E402
+import importlib.util  # noqa: E402
+
 sys.modules.setdefault("lpips", types.ModuleType("lpips"))
-sys.path.insert(0, REF_PATH)
+
+
+def _load_reference_package():
+    pkg_dir = os.path.join(REF_PATH, "transvae")
+    spec = importlib.util.spec_from_file_location(
+        "ref_transvae", os.path.join(pkg_dir, "__init__.py"),
+        submodule_search_locations=[pkg_dir])
+    module = importlib.util.module_from_spec(spec)
+    sys.modules["ref_transvae"] = module
+    spec.loader.exec_module(module)
+    return module
+
+
+_load_reference_package()
 
 import jax  # noqa: E402
 import jax.numpy as jnp  # noqa: E402
@@ -37,7 +55,7 @@ from deepl_project_tpu.utils.convert import torch_state_dict_to_params  # noqa: 
 @pytest.fixture(scope="module")
 def ref_pair():
     """(torch model, jax model, converted params) for a small f16 config."""
-    from transvae.models.transvae import TransVAE as RefTransVAE
+    from ref_transvae.models.transvae import TransVAE as RefTransVAE
 
     torch.manual_seed(0)
     ref_cfg = {"depths": [1, 1, 1], "base_dims": [32, 32, 128],
@@ -98,7 +116,7 @@ def test_resolution_extrapolation_parity(ref_pair):
 
 def test_depthwise_ffn_parity():
     # ConvFFN depthwise variant converts and matches too.
-    from transvae.modules.conv import ConvFFN as RefConvFFN
+    from ref_transvae.modules.conv import ConvFFN as RefConvFFN
 
     from deepl_project_tpu.ops import ConvFFN
 
