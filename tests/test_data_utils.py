@@ -103,3 +103,36 @@ def test_grid_and_layout_utils():
     np.testing.assert_array_equal(nchw_to_nhwc(nchw), imgs)
     s = summarize(np.array([1.0, 2.0, 3.0]))
     assert s["mean"] == 2.0 and s["median"] == 2.0
+
+
+def test_coco_dataset_layout(tmp_path):
+    # COCO directory layout: annotations/instances_train2017.json + train2017/
+    # (ref: train_working.py:46-96).
+    import json
+
+    from PIL import Image
+
+    from deepl_project_tpu.data import coco_dataset
+
+    img_dir = tmp_path / "train2017"
+    ann_dir = tmp_path / "annotations"
+    img_dir.mkdir()
+    ann_dir.mkdir()
+    names = []
+    for i in range(4):
+        name = f"{i:012d}.jpg"
+        Image.fromarray((np.random.rand(50, 40, 3) * 255).astype(np.uint8)
+                        ).save(img_dir / name)
+        names.append(name)
+    with open(ann_dir / "instances_train2017.json", "w") as f:
+        json.dump({"images": [{"file_name": n} for n in names]}, f)
+
+    imgs = list(coco_dataset(str(tmp_path), resolution=16, max_samples=3))
+    assert len(imgs) == 3
+    assert imgs[0].shape == (16, 16, 3)
+    # Sharding across two hosts splits the list.
+    sh0 = list(coco_dataset(str(tmp_path), resolution=16, shard_index=0,
+                            num_shards=2))
+    sh1 = list(coco_dataset(str(tmp_path), resolution=16, shard_index=1,
+                            num_shards=2))
+    assert len(sh0) + len(sh1) == 4
