@@ -54,6 +54,10 @@ class TransVAEConfig:
     param_dtype: str = "float32"
     remat: bool = False  # per-block gradient checkpointing
     remat_resample: bool = False  # also remat Down/Upsample (max memory saving)
+    # Rematerialization policy: 'none' saves nothing (max memory saving, full
+    # recompute); 'dots' saves matmul/conv outputs and recomputes only the
+    # cheap elementwise chains (faster backward, modestly more memory).
+    remat_policy: str = "none"
     # Compile each stage's block loop as one lax.scan body with stacked params
     # (smaller XLA program; required to compile large/huge/giant training
     # graphs). Param layout changes — see ops/stack.py converters.

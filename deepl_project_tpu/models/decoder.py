@@ -36,8 +36,10 @@ class TransVAEDecoder(nn.Module):
 
         res_cls, tv_cls, rs_cls = ResBlock, TransVAEBlock, Upsample
         if cfg.remat:
-            res_cls = nn.remat(ResBlock)
-            tv_cls = nn.remat(TransVAEBlock, static_argnums=(2,))
+            policy = (jax.checkpoint_policies.dots_with_no_batch_dims_saveable
+                      if cfg.remat_policy == "dots" else None)
+            res_cls = nn.remat(ResBlock, policy=policy)
+            tv_cls = nn.remat(TransVAEBlock, static_argnums=(2,), policy=policy)
         if cfg.remat and cfg.remat_resample:
             rs_cls = nn.remat(Upsample)
 
@@ -64,6 +66,7 @@ class TransVAEDecoder(nn.Module):
                     block_kwargs=tuple(sorted(
                         (res_kwargs if is_cnn else tv_kwargs).items())),
                     depth=depths[i], remat=cfg.remat,
+                    remat_policy=cfg.remat_policy,
                     pass_deterministic=not is_cnn,
                     name=f"stage{i}_blocks")(h, deterministic)
             else:

@@ -31,8 +31,10 @@ class TransVAEEncoder(nn.Module):
         dtype, pdtype = cfg.compute_dtype, cfg.params_dtype
         res_cls, tv_cls, rs_cls = ResBlock, TransVAEBlock, Downsample
         if cfg.remat:
-            res_cls = nn.remat(ResBlock)
-            tv_cls = nn.remat(TransVAEBlock, static_argnums=(2,))
+            policy = (jax.checkpoint_policies.dots_with_no_batch_dims_saveable
+                      if cfg.remat_policy == "dots" else None)
+            res_cls = nn.remat(ResBlock, policy=policy)
+            tv_cls = nn.remat(TransVAEBlock, static_argnums=(2,), policy=policy)
         if cfg.remat and cfg.remat_resample:
             rs_cls = nn.remat(Downsample)
 
@@ -59,6 +61,7 @@ class TransVAEEncoder(nn.Module):
                     block_kwargs=tuple(sorted(
                         (res_kwargs if is_cnn else tv_kwargs).items())),
                     depth=cfg.depths[i], remat=cfg.remat,
+                    remat_policy=cfg.remat_policy,
                     pass_deterministic=not is_cnn,
                     name=f"stage{i}_blocks")(h, deterministic)
             else:

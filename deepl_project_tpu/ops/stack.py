@@ -30,6 +30,7 @@ class BlockStack(nn.Module):
     block_kwargs: tuple  # tuple(sorted(kwargs.items())) — hashable
     depth: int
     remat: bool = False
+    remat_policy: str = "none"
     pass_deterministic: bool = True
 
     @nn.compact
@@ -45,7 +46,12 @@ class BlockStack(nn.Module):
                 out = block(carry, deterministic) if pass_det else block(carry)
                 return out, None
 
-        body = nn.remat(Body, prevent_cse=False) if self.remat else Body
+        if self.remat:
+            policy = (jax.checkpoint_policies.dots_with_no_batch_dims_saveable
+                      if self.remat_policy == "dots" else None)
+            body = nn.remat(Body, prevent_cse=False, policy=policy)
+        else:
+            body = Body
         scanned = nn.scan(
             body,
             variable_axes={"params": 0},
