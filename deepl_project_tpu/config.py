@@ -54,10 +54,11 @@ class TransVAEConfig:
     param_dtype: str = "float32"
     remat: bool = False  # per-block gradient checkpointing
     remat_resample: bool = False  # also remat Down/Upsample (max memory saving)
-    # Rematerialization policy: 'none' saves nothing (max memory saving, full
-    # recompute); 'dots' saves matmul/conv outputs and recomputes only the
-    # cheap elementwise chains (faster backward, modestly more memory).
-    remat_policy: str = "none"
+    # Rematerialization policy: 'dots' saves matmul/conv outputs and
+    # recomputes only the cheap elementwise chains — measured 52% faster
+    # training than 'none' on v5e (base@256 b8: 402 vs 610 ms/step) at
+    # modestly higher memory; 'none' = save nothing (max memory saving).
+    remat_policy: str = "dots"
     # Compile each stage's block loop as one lax.scan body with stacked params
     # (smaller XLA program; required to compile large/huge/giant training
     # graphs). Param layout changes — see ops/stack.py converters.
