@@ -63,3 +63,25 @@ def test_flash_gradients_match(rng):
     for a, b_ in zip(g1, g2):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
                                    rtol=2e-3, atol=2e-3)
+
+
+def test_fused_group_norm_silu_matches_reference(rng):
+    import deepl_project_tpu.ops.pallas.fused_norm as fnorm
+    from deepl_project_tpu.ops.norms import GroupNorm
+
+    orig = fnorm.pl.pallas_call
+    fnorm.pl.pallas_call = functools.partial(orig, interpret=True)
+    try:
+        x = jax.random.normal(rng, (2, 32, 16, 64), jnp.float32) * 2 + 1
+        ks = jax.random.split(rng, 2)
+        scale = jax.random.normal(ks[0], (64,)) * 0.1 + 1
+        bias = jax.random.normal(ks[1], (64,)) * 0.1
+        out = fnorm.group_norm_silu(x, scale, bias, groups=8, silu=True,
+                                    block_rows=128)
+        gn = GroupNorm(8, 64, dtype=jnp.float32)
+        ref = gn.apply({"params": {"scale": scale, "bias": bias}}, x)
+        ref = ref * jax.nn.sigmoid(ref)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=1e-4, atol=1e-5)
+    finally:
+        fnorm.pl.pallas_call = orig
