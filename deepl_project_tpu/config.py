@@ -64,6 +64,12 @@ class TransVAEConfig:
     # graphs). Param layout changes — see ops/stack.py converters.
     scan_blocks: bool = False
     attention_impl: str = "auto"  # 'auto' | 'xla' | 'pallas'
+    # Context parallelism (SP): mesh axis name to shard the token axis over in
+    # the transformer stages (ring attention via shard_map island). Live only
+    # when model apply/jit runs under ``jax.set_mesh(mesh)`` with that axis;
+    # otherwise falls back to single-device attention. Use with inputs whose
+    # H dimension is sharded over the axis — the ≥1024px training path.
+    context_axis: str | None = None
 
     @property
     def num_stages(self) -> int:

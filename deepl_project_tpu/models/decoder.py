@@ -59,6 +59,7 @@ class TransVAEDecoder(nn.Module):
                              conv_ffn_type=cfg.conv_ffn_type,
                              dropout=cfg.dropout,
                              attention_impl=cfg.attention_impl,
+                             context_axis=cfg.context_axis,
                              dtype=dtype, param_dtype=pdtype)
             if cfg.scan_blocks:
                 h = BlockStack(

@@ -58,6 +58,21 @@ def xla_attention_chunked(q, k, v, scale, chunk: int = 4096) -> jax.Array:
     return jnp.moveaxis(out, 0, 1).reshape(b, n, h, d)
 
 
+def _ambient_axis_size(axis: str | None) -> int:
+    """Size of ``axis`` in the ambient mesh (jax.set_mesh), or 1 when unset /
+    absent — the context-parallel path is live only under a mesh that
+    defines it, so plain single-device apply/init still work unchanged."""
+    if axis is None:
+        return 1
+    try:
+        mesh = jax.sharding.get_abstract_mesh()
+        if mesh.axis_names and axis in mesh.axis_names:
+            return int(mesh.shape[axis])
+    except Exception:
+        pass
+    return 1
+
+
 def core_attention(q, k, v, scale, impl: str = "auto") -> jax.Array:
     """Dispatch the attention core. q/k/v: [B, N, num_heads, head_dim]."""
     n = q.shape[1]
@@ -95,6 +110,12 @@ class AttentionRoPE(nn.Module):
     rope_pairing: str = "reference"
     dropout: float = 0.0
     impl: str = "auto"
+    # Mesh axis name for context parallelism: when set AND an ambient mesh
+    # (jax.set_mesh) defines it, the attention core runs ring attention over
+    # the token axis sharded on that mesh axis (shard_map island; GSPMD still
+    # handles the surrounding convs/norms incl. halo exchange). The ≥1024px
+    # training extension — SURVEY.md §2.7 SP row.
+    context_axis: str | None = None
     dtype: jnp.dtype = jnp.bfloat16
     param_dtype: jnp.dtype = jnp.float32
 
@@ -125,7 +146,12 @@ class AttentionRoPE(nn.Module):
             q = apply_rope2d(q, h, w, self.rope_pairing)
             k = apply_rope2d(k, h, w, self.rope_pairing)
 
-        out = core_attention(q, k, v, scale, impl=self.impl)
+        cp_size = _ambient_axis_size(self.context_axis)
+        if cp_size > 1 and n % cp_size == 0:
+            from ..parallel.ring_attention import context_parallel_attention
+            out = context_parallel_attention(q, k, v, scale, self.context_axis)
+        else:
+            out = core_attention(q, k, v, scale, impl=self.impl)
         out = out.reshape(b, n, c)
         out = nn.Dense(self.dim, use_bias=True, dtype=self.dtype,
                        param_dtype=self.param_dtype,

@@ -64,6 +64,7 @@ class TransVAEBlock(nn.Module):
     conv_ffn_type: str = "full"
     dropout: float = 0.0
     attention_impl: str = "auto"
+    context_axis: str | None = None
     dtype: jnp.dtype = jnp.bfloat16
     param_dtype: jnp.dtype = jnp.float32
 
@@ -74,6 +75,7 @@ class TransVAEBlock(nn.Module):
         h = AttentionRoPE(self.dim, head_dim=self.head_dim, use_rope=self.use_rope,
                           rope_pairing=self.rope_pairing,
                           dropout=self.dropout, impl=self.attention_impl,
+                          context_axis=self.context_axis,
                           name="attn", **common)(h, deterministic=deterministic)
         x = x + h
         h = RMSNorm(self.dim, name="norm2", **common)(x)

@@ -1,8 +1,13 @@
-from .mesh import (DATA_AXIS, MODEL_AXIS, batch_sharding, create_mesh,
-                   replicated, shard_batch)
+from .mesh import (CONTEXT_AXIS, DATA_AXIS, MODEL_AXIS, batch_sharding,
+                   context_batch_sharding, create_mesh, replicated,
+                   shard_batch)
+from .ring_attention import (context_parallel_attention, ring_attention,
+                             sequence_parallel_attention)
 from .sharding import param_shardings, param_specs, shard_params
 
 __all__ = [
-    "DATA_AXIS", "MODEL_AXIS", "create_mesh", "batch_sharding", "replicated",
-    "shard_batch", "param_specs", "param_shardings", "shard_params",
+    "CONTEXT_AXIS", "DATA_AXIS", "MODEL_AXIS", "create_mesh",
+    "batch_sharding", "context_batch_sharding", "replicated", "shard_batch",
+    "param_specs", "param_shardings", "shard_params", "ring_attention",
+    "context_parallel_attention", "sequence_parallel_attention",
 ]

@@ -22,6 +22,12 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
+# Above this per-device query length, each ring step's logits block
+# [B,H,Nq,Nk] is computed in query chunks so local memory stays
+# O(B*H*chunk*Nk) — at 1024px/8-way CP the full block would be multi-GB.
+_RING_Q_CHUNK = 2048
+
+
 def ring_attention(q: jax.Array, k: jax.Array, v: jax.Array, scale: float,
                    axis_name: str) -> jax.Array:
     """Blockwise-exact attention with K/V ring rotation.
@@ -34,7 +40,7 @@ def ring_attention(q: jax.Array, k: jax.Array, v: jax.Array, scale: float,
     """
     n_dev = jax.lax.psum(1, axis_name)
 
-    def partial_attn(q, k, v):
+    def partial_full(q, k, v):
         s = jnp.einsum("bqhd,bkhd->bhqk", q, k,
                        preferred_element_type=jnp.float32) * scale
         m = jnp.max(s, axis=-1, keepdims=True)          # [B,H,Nq,1]
@@ -43,6 +49,22 @@ def ring_attention(q: jax.Array, k: jax.Array, v: jax.Array, scale: float,
         o = jnp.einsum("bhqk,bkhd->bhqd", p.astype(v.dtype), v,
                        preferred_element_type=jnp.float32)  # [B,H,Nq,D]
         return m, l, o
+
+    def partial_attn(q, k, v):
+        nq = q.shape[1]
+        if nq <= _RING_Q_CHUNK or nq % _RING_Q_CHUNK != 0:
+            return partial_full(q, k, v)
+        b_, _, h_, d_ = q.shape
+        qc = q.reshape(b_, nq // _RING_Q_CHUNK, _RING_Q_CHUNK, h_, d_)
+
+        def chunk_body(_, q_blk):
+            return None, partial_full(q_blk, k, v)
+
+        _, (m, l, o) = jax.lax.scan(chunk_body, None, jnp.moveaxis(qc, 1, 0))
+        # [C,B,H,qc,*] → [B,H,Nq,*]
+        merge = lambda t: jnp.moveaxis(t, 0, 2).reshape(  # noqa: E731
+            b_, h_, nq, t.shape[-1])
+        return merge(m), merge(l), merge(o)
 
     def body(carry, _):
         m_acc, l_acc, o_acc, k_cur, v_cur = carry
@@ -59,15 +81,43 @@ def ring_attention(q: jax.Array, k: jax.Array, v: jax.Array, scale: float,
         return (m_tot, l_tot, o_tot, k_nxt, v_nxt), None
 
     b, nq, h, d = q.shape
-    # pvary: mark the init carries as device-varying over the ring axis so the
+    # Mark the init carries as device-varying over the ring axis so the
     # scan carry type matches the outputs under shard_map's varying-axis check.
-    m0 = jax.lax.pvary(jnp.full((b, h, nq, 1), -jnp.inf, jnp.float32), axis_name)
-    l0 = jax.lax.pvary(jnp.zeros((b, h, nq, 1), jnp.float32), axis_name)
-    o0 = jax.lax.pvary(jnp.zeros((b, h, nq, d), jnp.float32), axis_name)
+    vary = lambda t: jax.lax.pcast(t, axis_name, to="varying")  # noqa: E731
+    m0 = vary(jnp.full((b, h, nq, 1), -jnp.inf, jnp.float32))
+    l0 = vary(jnp.zeros((b, h, nq, 1), jnp.float32))
+    o0 = vary(jnp.zeros((b, h, nq, d), jnp.float32))
     (m_f, l_f, o_f, _, _), _ = jax.lax.scan(
         body, (m0, l0, o0, k, v), None, length=n_dev)
     out = (o_f / l_f).astype(q.dtype)                   # [B,H,Nq,D]
     return out.transpose(0, 2, 1, 3)                    # → [B,Nq,H,D]
+
+
+def context_parallel_attention(q: jax.Array, k: jax.Array, v: jax.Array,
+                               scale: float, axis: str) -> jax.Array:
+    """Ring attention as a shard_map island INSIDE a jitted model.
+
+    Manual only over ``axis`` (the token/context mesh axis) — batch ('data')
+    and any parameter ('model') shardings stay under GSPMD control, so this
+    composes with DP/TP/FSDP in the same program. Requires an ambient mesh
+    (``jax.set_mesh(mesh)`` around jit/apply) whose axis names include
+    ``axis``; q/k/v are GLOBAL [B, N, H, D] with N% mesh.shape[axis] == 0.
+    """
+    spec = P(None, axis, None, None)
+    fn = jax.shard_map(
+        functools.partial(ring_attention, scale=scale, axis_name=axis),
+        in_specs=(spec, spec, spec), out_specs=spec, axis_names={axis})
+    return fn(q, k, v)
+
+
+def ambient_mesh_has_axis(axis: str) -> bool:
+    """True when an ambient mesh (jax.set_mesh) defines ``axis`` — used by the
+    attention module to decide whether the context-parallel path is live."""
+    try:
+        mesh = jax.sharding.get_abstract_mesh()
+        return axis in (mesh.axis_names or ())
+    except Exception:
+        return False
 
 
 def sequence_parallel_attention(mesh: Mesh, q: jax.Array, k: jax.Array,

@@ -25,9 +25,11 @@ def micro_model(**kw):
 def test_mesh_creation():
     assert len(jax.devices()) == 8, "conftest must fake 8 CPU devices"
     mesh = create_mesh()
-    assert mesh.shape == {"data": 8, "model": 1}
+    assert mesh.shape == {"data": 8, "context": 1, "model": 1}
     mesh2 = create_mesh(data=4, model=2)
-    assert mesh2.shape == {"data": 4, "model": 2}
+    assert mesh2.shape == {"data": 4, "context": 1, "model": 2}
+    mesh3 = create_mesh(data=2, context=2, model=2)
+    assert mesh3.shape == {"data": 2, "context": 2, "model": 2}
 
 
 def test_data_parallel_step_matches_single_device(rng):
@@ -190,3 +192,57 @@ def test_ring_attention_bf16(rng):
     assert out.dtype == jnp.bfloat16
     np.testing.assert_allclose(np.asarray(out, np.float32), np.asarray(ref),
                                rtol=0.05, atol=0.05)
+
+
+def test_context_parallel_forward_matches_single_device(rng):
+    # Full-model CP: images row-sharded over the 'context' axis; ring
+    # attention in the transformer stage; GSPMD halo-exchanges the convs.
+    # Must equal the unsharded forward (same params).
+    from deepl_project_tpu.parallel import context_batch_sharding
+
+    model = micro_model()
+    model_cp = micro_model(context_axis="context")
+    x = jax.random.uniform(rng, (2, 32, 32, 3), jnp.float32)
+    params = model.init({"params": rng, "sample": rng}, x)["params"]
+    ref, mu_ref, lv_ref = model.apply({"params": params}, x, sample=False)
+
+    mesh = create_mesh(data=2, context=4)
+    fwd = jax.jit(lambda p, xx: model_cp.apply({"params": p}, xx, sample=False))
+    with jax.set_mesh(mesh):
+        xd = jax.device_put(x, context_batch_sharding(mesh))
+        out, mu, lv = fwd(params, xd)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(mu), np.asarray(mu_ref),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_context_parallel_train_step_matches(rng):
+    # One CP training step (DP x CP mesh) must produce the same loss and
+    # updated params as the single-device step.
+    import optax
+
+    from deepl_project_tpu.parallel import context_batch_sharding
+
+    model = micro_model()
+    model_cp = micro_model(context_axis="context")
+    x = jax.random.uniform(rng, (4, 32, 32, 3), jnp.float32)
+    params = {"model": model.init({"params": rng, "sample": rng}, x)["params"]}
+    tx = optax.sgd(1e-2)
+    w = LossWeights(lpips=0.0, kl=1e-6, vf=0.0, gan=0.0)
+
+    step_1 = make_train_step(model, tx, w, donate=False)
+    s1, m1 = step_1(init_train_state(params, tx), x, rng)
+
+    mesh = create_mesh(data=2, context=4)
+    step_cp = make_train_step(model_cp, tx, w, donate=False)
+    with jax.set_mesh(mesh):
+        xd = jax.device_put(x, context_batch_sharding(mesh))
+        scp, mcp = step_cp(init_train_state(params, tx), xd, rng)
+
+    np.testing.assert_allclose(float(m1["total"]), float(mcp["total"]),
+                               rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(s1.params),
+                    jax.tree_util.tree_leaves(scp.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-3, atol=1e-5)
