@@ -1,0 +1,176 @@
+"""Latent-DiT training CLI — the paper's Table 2(b) downstream pipeline
+(LightningDiT on TransVAE latents; not shipped in the reference repo).
+
+Usage (smoke):
+  python -m deepl_project_tpu.cli.train_dit --dit_variant B --vae_variant tiny \
+      --data synthetic --resolution 64 --batch_size 8 --total_steps 20 \
+      --output_dir out/dit
+
+With a trained tokenizer:
+  python -m deepl_project_tpu.cli.train_dit --vae_checkpoint out/vae/ckpt \
+      --data /data/imagenet --resolution 256 --total_steps 400000
+"""
+
+from __future__ import annotations
+
+import argparse
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description="Train a latent DiT on TransVAE "
+                                            "latents (rectified flow)")
+    # DiT
+    p.add_argument("--dit_variant", default="B", choices=["S", "B", "L", "XL"])
+    p.add_argument("--patch_size", type=int, default=2)
+    p.add_argument("--num_classes", type=int, default=1000)
+    p.add_argument("--class_dropout", type=float, default=0.1)
+    p.add_argument("--plain_dit", action="store_true",
+                   help="disable the LightningDiT modernizations "
+                        "(RMSNorm/SwiGLU/RoPE)")
+    # Tokenizer
+    p.add_argument("--vae_variant", default="tiny",
+                   choices=["tiny", "base", "large", "huge", "giant"])
+    p.add_argument("--vae_compression", type=int, default=16, choices=[8, 16])
+    p.add_argument("--vae_checkpoint", default=None,
+                   help="orbax checkpoint dir of a trained TransVAE; random "
+                        "init when omitted (smoke only)")
+    # Data
+    p.add_argument("--data", default="synthetic")
+    p.add_argument("--resolution", type=int, default=256)
+    p.add_argument("--stats_batches", type=int, default=8,
+                   help="batches used to estimate latent channel stats")
+    # Training
+    p.add_argument("--batch_size", type=int, default=64)
+    p.add_argument("--total_steps", type=int, default=400_000)
+    p.add_argument("--lr", type=float, default=2e-4)
+    p.add_argument("--warmup_steps", type=int, default=1000)
+    p.add_argument("--time_sampling", default="logit_normal",
+                   choices=["logit_normal", "uniform"])
+    p.add_argument("--seed", type=int, default=42)
+    # Sampling / logging
+    p.add_argument("--sample_every", type=int, default=0,
+                   help="if > 0, write a sample grid every N steps")
+    p.add_argument("--sample_steps", type=int, default=50)
+    p.add_argument("--cfg_scale", type=float, default=4.0)
+    p.add_argument("--log_every", type=int, default=100)
+    p.add_argument("--save_every", type=int, default=10_000)
+    p.add_argument("--output_dir", default="outputs/dit")
+    return p
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+
+    from ..config import get_config
+    from ..data import batch_iterator, make_dataset
+    from ..models import DiT, TransVAE, get_dit_config, init_dit_params
+    from ..training import (LatentStats, init_train_state, make_dit_train_step,
+                            make_optimizer, make_sampler, save_checkpoint)
+    from ..training.checkpoint import restore_params
+
+    rng = jax.random.PRNGKey(args.seed)
+
+    # Tokenizer (frozen): encode images → latents.
+    vcfg = get_config(args.vae_variant, args.vae_compression)
+    vae = TransVAE(vcfg)
+    if args.vae_checkpoint:
+        vae_params = restore_params(args.vae_checkpoint)
+        if isinstance(vae_params, dict) and "model" in vae_params:
+            vae_params = vae_params["model"]
+    else:
+        print("WARNING: no --vae_checkpoint; random tokenizer (smoke only)")
+        from ..models import init_params
+        vae_params = init_params(vae, rng, image_size=args.resolution, batch=1)
+
+    @jax.jit
+    def encode(images):
+        mu, _ = vae.apply({"params": vae_params}, images, method="encode")
+        return mu.astype(jnp.float32)
+
+    grid = args.resolution // vcfg.compression_ratio
+    dcfg = get_dit_config(
+        args.dit_variant, args.patch_size, in_channels=vcfg.latent_dim,
+        num_classes=args.num_classes, class_dropout=args.class_dropout)
+    if args.plain_dit:
+        dcfg = dcfg.replace(use_rmsnorm=False, use_swiglu=False, use_rope=False)
+    dit = DiT(dcfg)
+    dit_params = init_dit_params(dit, jax.random.fold_in(rng, 1), grid=grid)
+    n_params = sum(int(np.prod(p.shape))
+                   for p in jax.tree_util.tree_leaves(dit_params))
+    print(f"DiT-{args.dit_variant}/{args.patch_size}: {n_params/1e6:.1f}M "
+          f"params on {grid}x{grid}x{vcfg.latent_dim} latents")
+
+    data = batch_iterator(make_dataset(args.data, args.resolution),
+                          args.batch_size)
+
+    # Latent channel statistics from the first few batches.
+    lat0 = [np.asarray(encode(jnp.asarray(next(data))))
+            for _ in range(args.stats_batches)]
+    stats = LatentStats.from_latents(jnp.asarray(np.concatenate(lat0)))
+    print(f"latent stats: mean|max|={float(jnp.max(jnp.abs(stats.mean))):.3f} "
+          f"std range [{float(jnp.min(stats.std)):.3f}, "
+          f"{float(jnp.max(stats.std)):.3f}]")
+
+    tx = make_optimizer(learning_rate=args.lr, warmup_steps=args.warmup_steps,
+                        b2=0.95)
+    state = init_train_state(dit_params, tx)
+    step_fn = make_dit_train_step(dit, tx, time_sampling=args.time_sampling)
+
+    label_rng = np.random.default_rng(args.seed)
+    t0, imgs_seen = time.time(), 0
+    for i in range(args.total_steps):
+        images = jnp.asarray(next(data))
+        # Class-conditional when the dataset provides labels; synthetic and
+        # folder datasets without labels train class-free (random labels with
+        # full dropout would be cleaner; random labels keep the embedding
+        # exercised and CFG usable as "uncond vs uncond").
+        labels = jnp.asarray(label_rng.integers(0, args.num_classes,
+                                                images.shape[0]))
+        z0 = stats.normalize(encode(images))
+        state, metrics = step_fn(state, z0, labels, rng)
+        imgs_seen += images.shape[0]
+        if (i + 1) % args.log_every == 0:
+            dt = time.time() - t0
+            print(f"step {i+1}: loss {float(metrics['loss']):.4f} "
+                  f"grad_norm {float(metrics['grad_norm']):.3f} "
+                  f"{imgs_seen/dt:.1f} img/s")
+            t0, imgs_seen = time.time(), 0
+        if args.save_every and (i + 1) % args.save_every == 0:
+            save_checkpoint(args.output_dir, i + 1,
+                            {"params": state.params,
+                             "latent_mean": stats.mean,
+                             "latent_std": stats.std})
+        if args.sample_every and (i + 1) % args.sample_every == 0:
+            _write_samples(args, vae, vae_params, dit, state.params, stats,
+                           grid, i + 1)
+
+    save_checkpoint(args.output_dir, args.total_steps,
+                    {"params": state.params, "latent_mean": stats.mean,
+                     "latent_std": stats.std})
+    print(f"done; checkpoint at {args.output_dir}")
+
+
+def _write_samples(args, vae, vae_params, dit, dit_params, stats, grid, step):
+    import os
+
+    from ..training import generate_images
+    from ..utils.image import save_grid
+
+    rng = jax.random.PRNGKey(step)
+    labels = jnp.arange(8) % args.num_classes
+    imgs = generate_images(vae, vae_params, dit, dit_params, stats, rng,
+                           labels, grid=grid, num_steps=args.sample_steps,
+                           cfg_scale=args.cfg_scale)
+    os.makedirs(args.output_dir, exist_ok=True)
+    path = os.path.join(args.output_dir, f"samples_{step:07d}.png")
+    save_grid(np.asarray(imgs), path, nrow=4)
+    print(f"wrote {path}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,179 @@
+"""Latent-DiT harness tests: shapes, adaLN-zero identity-at-init, CFG
+sampling, rectified-flow training convergence, end-to-end generate through
+the TransVAE decoder (paper Table 2b pipeline; not in the reference repo)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+from deepl_project_tpu import TransVAE, get_config
+from deepl_project_tpu.models import DiT, get_dit_config, init_dit_params
+from deepl_project_tpu.training import (LatentStats, encode_to_latents,
+                                        generate_images, init_train_state,
+                                        make_dit_train_step, make_sampler)
+
+
+def micro_dit(**kw):
+    cfg = get_dit_config("B", patch_size=2, dtype="float32",
+                         attention_impl="xla", **kw)
+    return DiT(cfg.replace(hidden_dim=64, depth=2, num_heads=2,
+                           in_channels=4, num_classes=10))
+
+
+@pytest.fixture(scope="module")
+def dit_and_params():
+    model = micro_dit()
+    params = init_dit_params(model, jax.random.PRNGKey(0), grid=8)
+    return model, params
+
+
+def test_dit_output_shape(dit_and_params, rng):
+    model, params = dit_and_params
+    z = jax.random.normal(rng, (2, 8, 8, 4))
+    t = jnp.array([0.1, 0.9])
+    y = jnp.array([3, 7])
+    v = model.apply({"params": params}, z, t, y)
+    assert v.shape == (2, 8, 8, 4)
+    assert v.dtype == jnp.float32
+
+
+def test_dit_zero_init_head(dit_and_params, rng):
+    # adaLN-Zero: zero-init final head → output is exactly 0 at init, the
+    # property that makes DiT training stable from step 0.
+    model, params = dit_and_params
+    z = jax.random.normal(rng, (2, 8, 8, 4))
+    v = model.apply({"params": params}, z, jnp.array([0.5, 0.5]),
+                    jnp.array([0, 1]))
+    np.testing.assert_allclose(np.asarray(v), 0.0, atol=1e-6)
+
+
+def test_dit_resolution_flexible(dit_and_params, rng):
+    # RoPE on the patch grid → same params run at a larger latent grid
+    # (the tokenizer's extrapolation story carries to the DiT).
+    model, params = dit_and_params
+    z = jax.random.normal(rng, (1, 16, 16, 4))
+    v = model.apply({"params": params}, z, jnp.array([0.5]), jnp.array([2]))
+    assert v.shape == (1, 16, 16, 4)
+
+
+def test_label_dropout_trains_null_class(dit_and_params, rng):
+    # With deterministic=False, some labels are replaced by the null class —
+    # the model must consume label id == num_classes without error.
+    model, params = dit_and_params
+    z = jax.random.normal(rng, (4, 8, 8, 4))
+    v = model.apply({"params": params}, z, jnp.full((4,), 0.5),
+                    jnp.array([0, 1, 2, 3]), deterministic=False,
+                    rngs={"label_dropout": rng})
+    assert v.shape == (4, 8, 8, 4)
+
+
+def test_latent_stats_roundtrip(rng):
+    z = 3.0 + 2.0 * jax.random.normal(rng, (16, 8, 8, 4))
+    stats = LatentStats.from_latents(z)
+    zn = stats.normalize(z)
+    np.testing.assert_allclose(float(jnp.mean(zn)), 0.0, atol=1e-4)
+    np.testing.assert_allclose(float(jnp.std(zn)), 1.0, atol=1e-2)
+    np.testing.assert_allclose(np.asarray(stats.denormalize(zn)),
+                               np.asarray(z), rtol=1e-5, atol=1e-5)
+
+
+def test_dit_training_loss_decreases(dit_and_params, rng):
+    # Rectified-flow training on a fixed synthetic latent distribution: loss
+    # must drop substantially within 60 steps (v-prediction of a learnable
+    # structured target).
+    model, params = dit_and_params
+    tx = optax.adamw(2e-3)
+    state = init_train_state(params, tx)
+    step = make_dit_train_step(model, tx, donate=False)
+
+    # Structured latents: class-dependent mean.
+    def batch(key):
+        ky, kz = jax.random.split(key)
+        y = jax.random.randint(ky, (8,), 0, 10)
+        mean = (y[:, None, None, None].astype(jnp.float32) - 4.5) / 3.0
+        return mean + 0.3 * jax.random.normal(kz, (8, 8, 8, 4)), y
+
+    losses = []
+    key = rng
+    for i in range(60):
+        key, bk, sk = jax.random.split(key, 3)
+        z0, y = batch(bk)
+        state, m = step(state, z0, y, sk)
+        losses.append(float(m["loss"]))
+    first = np.mean(losses[:5])
+    last = np.mean(losses[-5:])
+    assert last < 0.65 * first, (first, last)
+
+
+def test_sampler_shapes_and_cfg(dit_and_params, rng):
+    model, params = dit_and_params
+    labels = jnp.array([1, 2, 3])
+    for scale in (1.0, 4.0):
+        sampler = make_sampler(model, num_steps=4, cfg_scale=scale,
+                               num_classes=10)
+        z = sampler(params, rng, labels, 8, 4)
+        assert z.shape == (3, 8, 8, 4)
+        assert bool(jnp.all(jnp.isfinite(z)))
+
+
+def test_generate_through_vae_decoder(rng):
+    # Full Table-2b loop on micro models: encode images → latent stats →
+    # train-free DiT sample → denormalize → VAE decode → [0,1] images.
+    vcfg = get_config("tiny_f16d32", dtype="float32", attention_impl="xla")
+    vcfg = vcfg.replace(depths=(1, 1, 1), base_dims=(16, 16, 32),
+                        latent_dim=4, head_dim=16)
+    vae = TransVAE(vcfg)
+    x = jax.random.uniform(rng, (2, 32, 32, 3))
+    vparams = vae.init({"params": rng, "sample": rng}, x)["params"]
+
+    lat = encode_to_latents(vae, vparams, x)
+    assert lat.shape == (2, 8, 8, 4)
+    stats = LatentStats.from_latents(lat)
+
+    dit = micro_dit()
+    dparams = init_dit_params(dit, jax.random.PRNGKey(1), grid=8)
+    imgs = generate_images(vae, vparams, dit, dparams, stats, rng,
+                           jnp.array([0, 5]), grid=8, num_steps=2)
+    assert imgs.shape == (2, 32, 32, 3)
+    assert float(jnp.min(imgs)) >= 0.0 and float(jnp.max(imgs)) <= 1.0
+
+
+def test_generation_fid_runs(rng):
+    # FID-10K harness on micro scale: tiny counts, mean-pool feature fn.
+    from deepl_project_tpu.training import generation_fid
+
+    vcfg = get_config("tiny_f16d32", dtype="float32", attention_impl="xla")
+    vcfg = vcfg.replace(depths=(1, 1, 1), base_dims=(16, 16, 32),
+                        latent_dim=4, head_dim=16)
+    vae = TransVAE(vcfg)
+    x = jax.random.uniform(rng, (4, 32, 32, 3))
+    vparams = vae.init({"params": rng, "sample": rng}, x)["params"]
+    dit = micro_dit()
+    dparams = init_dit_params(dit, jax.random.PRNGKey(1), grid=8)
+    stats = LatentStats.identity(4)
+
+    def feature_fn(imgs):  # [B,H,W,3] -> [B, 48] crude pooled features
+        f = jnp.mean(imgs.reshape(imgs.shape[0], 4, 8, 4, 8, 3), axis=(2, 4))
+        return f.reshape(imgs.shape[0], -1)
+
+    def real_batches():
+        k = rng
+        for _ in range(4):
+            k, sub = jax.random.split(k)
+            yield jax.random.uniform(sub, (4, 32, 32, 3))
+
+    fid = generation_fid(vae, vparams, dit, dparams, stats, real_batches(),
+                         feature_fn, rng, num_samples=8, batch_size=4,
+                         grid=8, num_steps=2)
+    assert np.isfinite(fid) and fid >= 0.0
+
+
+def test_train_dit_cli_smoke(tmp_path):
+    from deepl_project_tpu.cli.train_dit import main
+
+    main(["--dit_variant", "S", "--vae_variant", "tiny", "--data", "synthetic",
+          "--resolution", "64", "--batch_size", "2", "--total_steps", "2",
+          "--log_every", "1", "--save_every", "0", "--sample_every", "0",
+          "--stats_batches", "1", "--output_dir", str(tmp_path)])
