@@ -51,6 +51,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--warmup_steps", type=int, default=1000)
     p.add_argument("--time_sampling", default="logit_normal",
                    choices=["logit_normal", "uniform"])
+    p.add_argument("--ema_decay", type=float, default=0.9999,
+                   help="EMA of DiT params for eval/sampling; 0 disables")
+    p.add_argument("--resume", action="store_true",
+                   help="resume from the latest checkpoint in --output_dir")
     p.add_argument("--seed", type=int, default=42)
     # Sampling / logging
     p.add_argument("--sample_every", type=int, default=0,
@@ -69,9 +73,11 @@ def main(argv=None):
     from ..config import get_config
     from ..data import batch_iterator, make_dataset
     from ..models import DiT, TransVAE, get_dit_config, init_dit_params
-    from ..training import (LatentStats, init_train_state, make_dit_train_step,
+    from ..training import (LatentStats, init_ema_train_state,
+                            init_train_state, make_dit_train_step,
                             make_optimizer, make_sampler, save_checkpoint)
-    from ..training.checkpoint import restore_params
+    from ..training.checkpoint import (latest_step, restore_checkpoint,
+                                       restore_params)
 
     rng = jax.random.PRNGKey(args.seed)
 
@@ -118,12 +124,32 @@ def main(argv=None):
 
     tx = make_optimizer(learning_rate=args.lr, warmup_steps=args.warmup_steps,
                         b2=0.95)
-    state = init_train_state(dit_params, tx)
-    step_fn = make_dit_train_step(dit, tx, time_sampling=args.time_sampling)
+    use_ema = args.ema_decay > 0.0
+    state = (init_ema_train_state(dit_params, tx) if use_ema
+             else init_train_state(dit_params, tx))
+    step_fn = make_dit_train_step(
+        dit, tx, time_sampling=args.time_sampling,
+        ema_decay=args.ema_decay if use_ema else None)
+
+    start_step = 0
+    if args.resume and latest_step(args.output_dir) is not None:
+        payload = {"state": state, "latent_mean": stats.mean,
+                   "latent_std": stats.std}
+        restored, meta = restore_checkpoint(args.output_dir,
+                                            abstract_state=payload)
+        state = restored["state"]
+        stats = LatentStats(mean=restored["latent_mean"],
+                            std=restored["latent_std"])
+        start_step = int(meta["step"])
+        print(f"resumed from step {start_step} in {args.output_dir}")
+
+    def ckpt_payload(state):
+        return {"state": state, "latent_mean": stats.mean,
+                "latent_std": stats.std}
 
     label_rng = np.random.default_rng(args.seed)
     t0, imgs_seen = time.time(), 0
-    for i in range(args.total_steps):
+    for i in range(start_step, args.total_steps):
         images = jnp.asarray(next(data))
         # Class-conditional when the dataset provides labels; synthetic and
         # folder datasets without labels train class-free (random labels with
@@ -141,17 +167,15 @@ def main(argv=None):
                   f"{imgs_seen/dt:.1f} img/s")
             t0, imgs_seen = time.time(), 0
         if args.save_every and (i + 1) % args.save_every == 0:
-            save_checkpoint(args.output_dir, i + 1,
-                            {"params": state.params,
-                             "latent_mean": stats.mean,
-                             "latent_std": stats.std})
+            save_checkpoint(args.output_dir, i + 1, ckpt_payload(state))
         if args.sample_every and (i + 1) % args.sample_every == 0:
-            _write_samples(args, vae, vae_params, dit, state.params, stats,
-                           grid, i + 1)
+            _write_samples(args, vae, vae_params, dit,
+                           state.ema_params if use_ema else state.params,
+                           stats, grid, i + 1)
 
-    save_checkpoint(args.output_dir, args.total_steps,
-                    {"params": state.params, "latent_mean": stats.mean,
-                     "latent_std": stats.std})
+    if start_step < args.total_steps:
+        save_checkpoint(args.output_dir, args.total_steps,
+                        ckpt_payload(state))
     print(f"done; checkpoint at {args.output_dir}")
 
 

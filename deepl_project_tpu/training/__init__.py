@@ -1,7 +1,8 @@
 from .checkpoint import (latest_step, load_config, restore_checkpoint,
                          restore_params, save_checkpoint)
-from .diffusion import (LatentStats, encode_to_latents, generate_images,
-                        generation_fid, make_dit_train_step, make_sampler,
+from .diffusion import (EMATrainState, LatentStats, encode_to_latents,
+                        generate_images, generation_fid, init_ema_train_state,
+                        make_dit_train_step, make_sampler,
                         rectified_flow_loss)
 from .optim import make_optimizer
 from .schedule import warmup_constant, warmup_cosine
@@ -17,4 +18,5 @@ __all__ = [
     "load_config",
     "LatentStats", "rectified_flow_loss", "make_dit_train_step",
     "make_sampler", "generate_images", "encode_to_latents", "generation_fid",
+    "EMATrainState", "init_ema_train_state",
 ]

@@ -28,6 +28,21 @@ from flax import struct
 from .train_step import TrainState, init_train_state  # noqa: F401 (re-export)
 
 
+class EMATrainState(TrainState):
+    """Train state with an exponential-moving-average shadow of the params —
+    the standard DiT/LightningDiT evaluation trick (sample from EMA weights).
+    The reference repo has no EMA anywhere; this is a framework extension."""
+
+    ema_params: Any = None
+
+
+def init_ema_train_state(params: Any, tx: optax.GradientTransformation
+                         ) -> EMATrainState:
+    return EMATrainState(step=jnp.zeros((), jnp.int32), params=params,
+                         opt_state=tx.init(params),
+                         ema_params=jax.tree_util.tree_map(jnp.copy, params))
+
+
 class LatentStats(struct.PyTreeNode):
     """Per-channel latent normalization: z_norm = (z - mean) / std."""
 
@@ -77,11 +92,14 @@ def rectified_flow_loss(model, params, z0: jax.Array, labels: jax.Array,
 
 def make_dit_train_step(model, tx: optax.GradientTransformation,
                         time_sampling: str = "logit_normal",
+                        ema_decay: float | None = None,
                         donate: bool = True):
     """Jitted DiT training step: fn(state, z0, labels, rng) → (state, metrics).
 
     z0 is the NORMALIZED latent batch [B, h, w, C] (apply LatentStats first,
     on device, typically fused into the data pipeline or the encode step).
+    With ema_decay set, ``state`` must be an EMATrainState; the EMA shadow
+    updates in the same compiled program.
     """
 
     def step(state: TrainState, z0, labels, rng):
@@ -93,8 +111,13 @@ def make_dit_train_step(model, tx: optax.GradientTransformation,
         metrics["grad_norm"] = optax.global_norm(grads)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
+        extra = {}
+        if ema_decay is not None:
+            extra["ema_params"] = jax.tree_util.tree_map(
+                lambda e, p: ema_decay * e + (1.0 - ema_decay) * p,
+                state.ema_params, params)
         return state.replace(step=state.step + 1, params=params,
-                             opt_state=opt_state), metrics
+                             opt_state=opt_state, **extra), metrics
 
     return jax.jit(step, donate_argnums=(0,) if donate else ())
 

@@ -177,3 +177,35 @@ def test_train_dit_cli_smoke(tmp_path):
           "--resolution", "64", "--batch_size", "2", "--total_steps", "2",
           "--log_every", "1", "--save_every", "0", "--sample_every", "0",
           "--stats_batches", "1", "--output_dir", str(tmp_path)])
+
+
+def test_ema_train_state_tracks_params(dit_and_params, rng):
+    from deepl_project_tpu.training import init_ema_train_state
+
+    model, params = dit_and_params
+    tx = optax.adamw(1e-2)
+    state = init_ema_train_state(params, tx)
+    step = make_dit_train_step(model, tx, ema_decay=0.5, donate=False)
+    z0 = jax.random.normal(rng, (4, 8, 8, 4))
+    y = jnp.array([0, 1, 2, 3])
+    for i in range(3):
+        state, _ = step(state, z0, y, jax.random.fold_in(rng, i))
+    # EMA lags the live params but moves away from init.
+    p0 = jax.tree_util.tree_leaves(params)
+    pe = jax.tree_util.tree_leaves(state.ema_params)
+    pl = jax.tree_util.tree_leaves(state.params)
+    moved = sum(float(jnp.sum(jnp.abs(a - b))) for a, b in zip(pe, p0))
+    lag = sum(float(jnp.sum(jnp.abs(a - b))) for a, b in zip(pe, pl))
+    assert moved > 0.0 and lag > 0.0
+
+
+def test_train_dit_cli_resume(tmp_path):
+    from deepl_project_tpu.cli.train_dit import main
+
+    common = ["--dit_variant", "S", "--vae_variant", "tiny", "--data",
+              "synthetic", "--resolution", "64", "--batch_size", "2",
+              "--log_every", "1", "--sample_every", "0", "--stats_batches",
+              "1", "--output_dir", str(tmp_path)]
+    main(common + ["--total_steps", "2", "--save_every", "2"])
+    # Resume continues from step 2 to 4 (same arch/opt config).
+    main(common + ["--total_steps", "4", "--save_every", "0", "--resume"])
