@@ -121,6 +121,31 @@ def count_params(params: Any) -> dict:
     return out
 
 
+def get_num_params(params: Any) -> int:
+    """Total parameter count — name-for-name counterpart of the reference's
+    ``TransVAE.get_num_params`` (ref: transvae.py:290-300). See
+    :func:`count_params` for the per-submodule breakdown."""
+    return count_params(params)["total"]
+
+
+def enable_gradient_checkpointing(model: TransVAE,
+                                  policy: str | None = None) -> TransVAE:
+    """Return a copy of ``model`` with per-block rematerialization enabled —
+    the counterpart of the reference's in-place
+    ``TransVAE.enable_gradient_checkpointing`` (ref: transvae.py:269-277;
+    torch.utils.checkpoint per block, encoder.py:114-124).
+
+    JAX modules are immutable, so this returns a new module; params are
+    unchanged (remat only alters what the backward pass saves). ``policy``
+    overrides the remat policy ('dots' saves matmul/conv outputs — the fast
+    default; 'none' saves nothing for max memory savings).
+    """
+    kw = {"remat": True}
+    if policy is not None:
+        kw["remat_policy"] = policy
+    return TransVAE(model.config.replace(**kw))
+
+
 def get_last_layer(params: Any) -> jax.Array:
     """The decoder's final conv kernel — used for adaptive GAN weighting
     (ref: transvae.py:260-262 ``get_last_layer``; the reference defines it but

@@ -135,6 +135,24 @@ def test_param_count_tiny_matches_reference_code():
     assert counts["decoder"] == 40_871_043, counts
 
 
+def test_get_num_params_and_enable_gradient_checkpointing(rng):
+    # Name-for-name counterparts of the reference API (ref: transvae.py:269-300).
+    from deepl_project_tpu.models import (enable_gradient_checkpointing,
+                                          get_num_params)
+
+    model = tiny_model()
+    x = jax.random.normal(rng, (1, 32, 32, 3))
+    params = model.init({"params": rng, "sample": rng}, x)["params"]
+    assert get_num_params(params) == count_params(params)["total"] > 0
+
+    remat_model = enable_gradient_checkpointing(model, policy="none")
+    assert remat_model.config.remat and remat_model.config.remat_policy == "none"
+    # Same params apply cleanly; forward identical (remat changes backward only).
+    r1, _, _ = model.apply({"params": params}, x, sample=False)
+    r2, _, _ = remat_model.apply({"params": params}, x, sample=False)
+    np.testing.assert_allclose(np.asarray(r1), np.asarray(r2), rtol=1e-5)
+
+
 def test_logvar_clamp_contract(rng):
     # mu/logvar clamping must hold on the forward path (patched semantics).
     model = tiny_model()
