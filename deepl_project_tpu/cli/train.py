@@ -34,6 +34,15 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--scan_blocks", action="store_true",
                    help="compile per-stage block loops as lax.scan "
                         "(large/huge/giant training)")
+    p.add_argument("--attention_impl", default="auto_train",
+                   choices=["auto", "auto_train", "xla", "xla_chunked",
+                            "pallas"],
+                   help="attention dispatch; 'auto_train' uses the Pallas "
+                        "flash kernel from N=4096 so the backward saves O(N) "
+                        "memory (required for large@256 on 16 GB HBM)")
+    p.add_argument("--mu_dtype", default=None, choices=[None, "bfloat16"],
+                   help="AdamW first-moment dtype (bfloat16 halves that "
+                        "buffer for big-variant training)")
     # Data
     p.add_argument("--data", default="synthetic",
                    help="'synthetic', 'hf:<dataset>', or a local path")
@@ -102,7 +111,8 @@ def main(argv=None):
     model_cfg = get_config(args.variant, args.compression_ratio,
                            args.latent_dim, remat=args.gradient_checkpointing,
                            norm_latents=args.norm_latents,
-                           scan_blocks=args.scan_blocks)
+                           scan_blocks=args.scan_blocks,
+                           attention_impl=args.attention_impl)
     weights = LossWeights(l1=args.l1_weight, lpips=args.lpips_weight,
                           kl=args.kl_weight, vf=args.vf_weight,
                           gan=args.gan_weight if args.use_gan else 0.0)
@@ -114,7 +124,8 @@ def main(argv=None):
         use_lpips=args.lpips_weight > 0, resolution=args.resolution,
         seed=args.seed, log_every=args.log_every,
         save_every_epochs=args.save_every_epochs, output_dir=args.output_dir,
-        mesh_model=args.mesh_model, param_sharding=args.param_sharding)
+        mesh_model=args.mesh_model, param_sharding=args.param_sharding,
+        mu_dtype=args.mu_dtype)
 
     synthetic_sources = ("synthetic", "shapes")
     extra = ({"repeat": True}

@@ -63,7 +63,11 @@ class TransVAEConfig:
     # (smaller XLA program; required to compile large/huge/giant training
     # graphs). Param layout changes — see ops/stack.py converters.
     scan_blocks: bool = False
-    attention_impl: str = "auto"  # 'auto' | 'xla' | 'pallas'
+    # 'auto' (inference-tuned dispatch) | 'auto_train' (drops the Pallas flash
+    # threshold to N=4096 so the backward saves O(N) instead of the O(N^2)
+    # softmax weights — required for large-variant @256px training in 16 GB
+    # HBM) | 'xla' | 'xla_chunked' | 'pallas' (force).
+    attention_impl: str = "auto"
     # Context parallelism (SP): mesh axis name to shard the token axis over in
     # the transformer stages (ring attention via shard_map island). Live only
     # when model apply/jit runs under ``jax.set_mesh(mesh)`` with that axis;

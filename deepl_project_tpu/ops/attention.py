@@ -29,6 +29,14 @@ _XLA_FULL_SOFTMAX_MAX_TOKENS = 2048
 # Beyond this, even chunked XLA loses to the Pallas flash kernel (measured
 # 2.4x at N=16384 on v5e).
 _PALLAS_MIN_TOKENS = 8192
+# Training dispatch ('auto_train') switches to the flash kernel earlier: the
+# backward through XLA attention must *save* the [B, h, N, N] weights (at
+# N=4096 that is a 3 GB fp32 logits + 1.5 GB bf16 weights temp per stage-2
+# block — the measured cause of large-variant @256px training OOM on a 16 GB
+# chip), while the flash kernel's custom VJP saves only O + logsumexp (O(N)).
+# Inference keeps the faster XLA path ('auto'); softmax fuses there and the
+# weights are never materialized.
+_PALLAS_MIN_TOKENS_TRAIN = 4096
 
 
 def xla_attention(q: jax.Array, k: jax.Array, v: jax.Array, scale: float) -> jax.Array:
@@ -76,15 +84,19 @@ def _ambient_axis_size(axis: str | None) -> int:
 def core_attention(q, k, v, scale, impl: str = "auto") -> jax.Array:
     """Dispatch the attention core. q/k/v: [B, N, num_heads, head_dim]."""
     n = q.shape[1]
-    if impl == "auto":
+    if impl in ("auto", "auto_train"):
         # Measured on v5e: XLA's fused attention beats the Pallas kernel up to
         # N=4096 (attention is ~1% of model FLOPs at 256px); beyond
         # _XLA_FULL_SOFTMAX_MAX_TOKENS the O(N^2) fp32 logits blow HBM and the
         # blockwise Pallas kernel wins (N=16k at 512px, 65k at 1024px).
+        # 'auto_train' drops the Pallas threshold to 4096 for backward-pass
+        # memory (see _PALLAS_MIN_TOKENS_TRAIN).
+        min_pallas = (_PALLAS_MIN_TOKENS_TRAIN if impl == "auto_train"
+                      else _PALLAS_MIN_TOKENS)
         on_tpu = jax.default_backend() == "tpu"
         if n <= _XLA_FULL_SOFTMAX_MAX_TOKENS:
             impl = "xla"
-        elif (on_tpu and n >= _PALLAS_MIN_TOKENS and n % 512 == 0
+        elif (on_tpu and n >= min_pallas and n % 512 == 0
               and q.shape[-1] <= 128):
             impl = "pallas"
         else:

@@ -28,6 +28,7 @@ def make_optimizer(
     freeze_encoder: bool = False,
     nan_skip: bool = True,
     schedule=None,
+    mu_dtype: str | None = None,
 ) -> optax.GradientTransformation:
     """Build the training optimizer.
 
@@ -35,12 +36,16 @@ def make_optimizer(
     (ref: train.py:676-679) as an optax partition: encoder updates are zeroed.
     nan_skip implements the non-finite-loss step-skip (ref: train_2.py:329-338)
     at the gradient level via optax.apply_if_finite.
+    mu_dtype='bfloat16' halves the first-moment buffer (1.1 GB on the 545M
+    large variant) — an HBM lever for big-variant training on 16 GB chips;
+    the second moment stays fp32.
     """
     sched = schedule if schedule is not None else warmup_constant(
         learning_rate, warmup_steps)
     tx = optax.chain(
         optax.clip_by_global_norm(max_grad_norm),
-        optax.adamw(sched, b1=b1, b2=b2, weight_decay=weight_decay),
+        optax.adamw(sched, b1=b1, b2=b2, weight_decay=weight_decay,
+                    mu_dtype=mu_dtype),
     )
     if freeze_encoder:
         def label_fn(params: Any):

@@ -55,6 +55,7 @@ class TrainerConfig:
     output_dir: str = "outputs"
     mesh_model: int = 1
     param_sharding: str = "replicate"  # 'replicate' | 'fsdp' | 'tensor'
+    mu_dtype: str | None = None  # 'bfloat16' halves AdamW's first moment
 
 
 class Trainer:
@@ -87,7 +88,8 @@ class Trainer:
             learning_rate=train_config.learning_rate,
             warmup_steps=train_config.warmup_steps,
             max_grad_norm=train_config.max_grad_norm,
-            freeze_encoder=train_config.freeze_encoder)
+            freeze_encoder=train_config.freeze_encoder,
+            mu_dtype=train_config.mu_dtype)
 
         # Stage 2: adversarial finetune with a real PatchGAN discriminator
         # (the reference wires the flags but always passes discriminator=None;

@@ -30,14 +30,16 @@ def main():
                                             make_train_step)
 
     cfg = get_config("large", 16, 32).replace(
-        remat=True, remat_policy="dots", scan_blocks=True, norm_latents=True)
+        remat=True, remat_policy="dots", scan_blocks=True, norm_latents=True,
+        remat_resample=True, attention_impl="auto_train")
     model = TransVAE(cfg)
     rng = jax.random.PRNGKey(0)
     params = {"model": init_params(model, rng, image_size=res, batch=1)}
-    tx = make_optimizer(learning_rate=1e-4, warmup_steps=100)
+    tx = make_optimizer(learning_rate=1e-4, warmup_steps=100,
+                        mu_dtype=os.environ.get("PROBE_MU_DTYPE"))
     state = init_train_state(params, tx)
     step = make_train_step(model, tx, weights=LossWeights(l1=1.0, kl=1e-8),
-                           donate=False)
+                           donate=True)
 
     x = jax.random.uniform(jax.random.PRNGKey(1), (batch, res, res, 3),
                            jnp.float32)
@@ -49,13 +51,13 @@ def main():
     compiled = lowered.compile()
     print(f"COMPILED in {time.time()-t0:.1f}s", flush=True)
 
-    new_state, metrics = compiled(state, x, rng)
+    state, metrics = compiled(state, x, rng)
     loss = float(metrics["total"])
     print(f"step 1 ran: loss={loss:.4f}", flush=True)
     t0 = time.time()
     iters = 5
     for _ in range(iters):
-        new_state, metrics = compiled(new_state, x, rng)
+        state, metrics = compiled(state, x, rng)
     loss = float(metrics["total"])  # readback fence (tunnel)
     dt = (time.time() - t0) / iters
     print(f"PROBE OK: {dt*1e3:.0f} ms/step, {batch/dt:.1f} img/s, "

@@ -1,0 +1,123 @@
+"""Profile-guided audit: per-stage timings of TransVAE-L @256 vs rooflines.
+
+Times each encoder/decoder stage shape in isolation (blocks at the stage's
+spatial size + channel width) and the full model, and compares each against a
+compute roofline (v5e ~197 bf16 TFLOP/s) and an HBM roofline (~819 GB/s).
+Identifies which stages are MXU-bound vs bandwidth-bound to direct kernel work.
+
+Usage: PYTHONPATH=/root/repo:/root/.axon_site python scripts/profile_stages.py
+"""
+
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+
+os.makedirs("/tmp/jax_cache", exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+BATCH = 32
+RES = 256
+PEAK_TFLOPS = 197.0  # v5e bf16
+HBM_GBS = 819.0
+
+
+def timed(fn, *args, iters=10):
+    compiled = jax.jit(fn).lower(*args).compile()
+    cost = compiled.cost_analysis() or {}
+    fetch = jax.jit(lambda o: jnp.sum(jax.tree_util.tree_leaves(o)[0]
+                                      .astype(jnp.float32)))
+    float(fetch(compiled(*args)))
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            out = compiled(*args)
+        float(fetch(out))
+        best = min(best, (time.perf_counter() - t0) / iters)
+    flops = float(cost.get("flops", 0.0))
+    byt = float(cost.get("bytes accessed", 0.0))
+    return best, flops, byt
+
+
+def report(name, dt, flops, byt):
+    tf = flops / dt / 1e12 if dt else 0
+    gb = byt / dt / 1e9 if dt else 0
+    mfu = 100 * tf / PEAK_TFLOPS
+    hbm = 100 * gb / HBM_GBS
+    # Roofline floor: whichever of compute/bandwidth bounds this op.
+    floor_ms = max(flops / (PEAK_TFLOPS * 1e12), byt / (HBM_GBS * 1e9)) * 1e3
+    print(f"{name:34s} {dt*1e3:9.2f} ms  {tf:7.1f} TF/s ({mfu:4.1f}%)  "
+          f"{gb:7.0f} GB/s ({hbm:4.1f}%)  floor {floor_ms:8.2f} ms  "
+          f"gap {dt*1e3/floor_ms if floor_ms else 0:5.2f}x", flush=True)
+
+
+def main():
+    from deepl_project_tpu import TransVAE, get_config
+    from deepl_project_tpu.models import init_params
+    from deepl_project_tpu.ops.blocks import ResBlock, TransVAEBlock
+    from deepl_project_tpu.ops.resample import Downsample, Upsample
+
+    cfg = get_config("large", 16, 32)
+    rng = jax.random.PRNGKey(0)
+
+    print(f"== per-stage shapes, batch {BATCH} @{RES}px, bf16 ==", flush=True)
+    enc_stages = [  # (spatial, channels, depth, kind)
+        (256, 192, 3, "res"), (128, 192, 3, "res"), (64, 384, 3, "attn"),
+        (32, 768, 4, "attn"), (16, 1536, 6, "attn"),
+    ]
+    for i, (s, c, d, kind) in enumerate(enc_stages):
+        x = jax.random.normal(rng, (BATCH, s, s, c), jnp.bfloat16)
+        if kind == "res":
+            mod = ResBlock(c, c, dtype=jnp.bfloat16)
+        else:
+            mod = TransVAEBlock(c, head_dim=cfg.head_dim,
+                                mlp_ratio=cfg.mlp_ratio, dtype=jnp.bfloat16)
+        p = mod.init({"params": rng}, x)["params"]
+
+        def stack(p, x, mod=mod, d=d):
+            for _ in range(d):  # same params; timing proxy for the real stack
+                x = mod.apply({"params": p}, x)
+            return x
+
+        dt, fl, by = timed(stack, p, x)
+        report(f"enc stage{i} {kind}x{d} {s}px c{c}", dt, fl, by)
+
+    for i, (s, c) in enumerate([(256, 192), (128, 192), (64, 384), (32, 768)]):
+        x = jax.random.normal(rng, (BATCH, s, s, c), jnp.bfloat16)
+        c_out = enc_stages[i + 1][1]
+        mod = Downsample(c, c_out, dtype=jnp.bfloat16)
+        p = mod.init({"params": rng}, x)["params"]
+        dt, fl, by = timed(lambda p, x, mod=mod: mod.apply({"params": p}, x), p, x)
+        report(f"downsample{i} {s}->{s//2} c{c}->{c_out}", dt, fl, by)
+
+    x = jax.random.normal(rng, (BATCH, 128, 128, 192), jnp.bfloat16)
+    mod = Upsample(192, 192, dtype=jnp.bfloat16)
+    p = mod.init({"params": rng}, x)["params"]
+    dt, fl, by = timed(lambda p, x: mod.apply({"params": p}, x), p, x)
+    report("upsample 128->256 c192", dt, fl, by)
+
+    print("== full model ==", flush=True)
+    model = TransVAE(cfg)
+    params = init_params(model, rng, image_size=RES, batch=1)
+    x = jax.random.uniform(jax.random.PRNGKey(1), (BATCH, RES, RES, 3),
+                           jnp.bfloat16)
+
+    def enc(params, x):
+        return model.apply({"params": params}, x, sample=False,
+                           method=lambda m, x, **kw: m.encode(x))
+
+    def full(params, x):
+        r, mu, lv = model.apply({"params": params}, x, sample=False)
+        return r
+
+    dt, fl, by = timed(enc, params, x, iters=5)
+    report("encoder (encode)", dt, fl, by)
+    dt, fl, by = timed(full, params, x, iters=5)
+    report("full encode+decode", dt, fl, by)
+
+
+if __name__ == "__main__":
+    main()

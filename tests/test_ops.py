@@ -214,3 +214,28 @@ def test_down_up_shapes(rng, dc):
     up = Upsample(64, 32, use_dc_path=dc, **F32)
     xu = up.apply(up.init(rng, xd), xd)
     assert xu.shape == (2, 16, 16, 32)
+
+
+def test_auto_train_dispatch_matches_xla(rng):
+    # 'auto_train' (training memory dispatch: Pallas from N=4096 on TPU,
+    # chunked-XLA fallback elsewhere) must be numerically equivalent to the
+    # full-softmax path at any N.
+    from deepl_project_tpu.ops.attention import core_attention
+
+    b, n, h, d = 2, 4096, 2, 16
+    q, k, v = (jax.random.normal(key, (b, n, h, d))
+               for key in jax.random.split(rng, 3))
+    scale = d ** -0.5
+    ref = xla_attention(q, k, v, scale)
+    out = core_attention(q, k, v, scale, impl="auto_train")
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-4, atol=2e-5)
+
+
+def test_attention_impl_auto_train_in_model(rng):
+    m = AttentionRoPE(128, head_dim=64, impl="auto_train", **F32)
+    x = jax.random.normal(rng, (1, 8, 8, 128))
+    ref = AttentionRoPE(128, head_dim=64, impl="xla", **F32)
+    p = m.init(rng, x)
+    np.testing.assert_allclose(np.asarray(m.apply(p, x)),
+                               np.asarray(ref.apply(p, x)), rtol=1e-5)

@@ -223,3 +223,24 @@ def test_gan_adaptive_weight_step(rng):
     gen_state, disc_state, metrics = step(gen_state, disc_state, x, rng)
     assert np.isfinite(float(metrics["adaptive_gan_weight"]))
     assert np.isfinite(float(metrics["total"]))
+
+
+def test_optimizer_mu_dtype_bf16():
+    # mu_dtype='bfloat16' must put AdamW's first moment in bf16 (an HBM lever
+    # for big-variant training) without breaking updates.
+    import optax
+
+    from deepl_project_tpu.training import make_optimizer
+
+    tx = make_optimizer(learning_rate=1e-3, warmup_steps=0,
+                        mu_dtype="bfloat16")
+    params = {"w": jnp.ones((4, 4), jnp.float32)}
+    state = tx.init(params)
+    mus = [leaf for leaf in jax.tree_util.tree_leaves(state)
+           if getattr(leaf, "dtype", None) == jnp.bfloat16]
+    assert mus, "no bf16 leaves in optimizer state"
+    grads = {"w": jnp.full((4, 4), 0.1, jnp.float32)}
+    updates, state = tx.update(grads, state, params)
+    new = optax.apply_updates(params, updates)
+    assert bool(jnp.all(jnp.isfinite(new["w"])))
+    assert float(jnp.max(jnp.abs(new["w"] - params["w"]))) > 0
