@@ -43,6 +43,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--mu_dtype", default=None, choices=[None, "bfloat16"],
                    help="AdamW first-moment dtype (bfloat16 halves that "
                         "buffer for big-variant training)")
+    p.add_argument("--optimizer", default="adamw",
+                   choices=["adamw", "adafactor"],
+                   help="'adafactor' (factored 2nd moment) makes 1B-param "
+                        "large-variant training fit one 16 GB chip")
     # Data
     p.add_argument("--data", default="synthetic",
                    help="'synthetic', 'hf:<dataset>', or a local path")
@@ -125,7 +129,7 @@ def main(argv=None):
         seed=args.seed, log_every=args.log_every,
         save_every_epochs=args.save_every_epochs, output_dir=args.output_dir,
         mesh_model=args.mesh_model, param_sharding=args.param_sharding,
-        mu_dtype=args.mu_dtype)
+        mu_dtype=args.mu_dtype, optimizer=args.optimizer)
 
     synthetic_sources = ("synthetic", "shapes")
     extra = ({"repeat": True}

@@ -29,6 +29,7 @@ def make_optimizer(
     nan_skip: bool = True,
     schedule=None,
     mu_dtype: str | None = None,
+    optimizer: str = "adamw",
 ) -> optax.GradientTransformation:
     """Build the training optimizer.
 
@@ -36,16 +37,31 @@ def make_optimizer(
     (ref: train.py:676-679) as an optax partition: encoder updates are zeroed.
     nan_skip implements the non-finite-loss step-skip (ref: train_2.py:329-338)
     at the gradient level via optax.apply_if_finite.
-    mu_dtype='bfloat16' halves the first-moment buffer (1.1 GB on the 545M
-    large variant) — an HBM lever for big-variant training on 16 GB chips;
-    the second moment stays fp32.
+    mu_dtype='bfloat16' halves the first-moment buffer — an HBM lever for
+    big-variant training on 16 GB chips; the second moment stays fp32.
+    optimizer='adafactor' swaps AdamW for Adafactor (factored second moment,
+    no first moment): optimizer state drops from 2x to ~0.05x the param
+    bytes — what makes 1B-param ("large" per the reference code's true count)
+    single-chip training fit in 16 GB HBM. DP/TP/FSDP sharding is unaffected.
     """
     sched = schedule if schedule is not None else warmup_constant(
         learning_rate, warmup_steps)
+    if optimizer == "adafactor":
+        # multiply_by_parameter_scale=False keeps the passed learning rate's
+        # AdamW-like meaning (relative step sizes would silently repurpose
+        # lr=1e-4); momentum=None = no first moment (the memory win).
+        inner = optax.adafactor(sched, min_dim_size_to_factor=128,
+                                decay_rate=0.8, momentum=None,
+                                multiply_by_parameter_scale=False,
+                                weight_decay_rate=weight_decay or None)
+    elif optimizer == "adamw":
+        inner = optax.adamw(sched, b1=b1, b2=b2, weight_decay=weight_decay,
+                            mu_dtype=mu_dtype)
+    else:
+        raise ValueError(f"unknown optimizer {optimizer!r}")
     tx = optax.chain(
         optax.clip_by_global_norm(max_grad_norm),
-        optax.adamw(sched, b1=b1, b2=b2, weight_decay=weight_decay,
-                    mu_dtype=mu_dtype),
+        inner,
     )
     if freeze_encoder:
         def label_fn(params: Any):

@@ -56,6 +56,7 @@ class TrainerConfig:
     mesh_model: int = 1
     param_sharding: str = "replicate"  # 'replicate' | 'fsdp' | 'tensor'
     mu_dtype: str | None = None  # 'bfloat16' halves AdamW's first moment
+    optimizer: str = "adamw"  # 'adamw' | 'adafactor' (1B-scale single-chip)
 
 
 class Trainer:
@@ -89,7 +90,8 @@ class Trainer:
             warmup_steps=train_config.warmup_steps,
             max_grad_norm=train_config.max_grad_norm,
             freeze_encoder=train_config.freeze_encoder,
-            mu_dtype=train_config.mu_dtype)
+            mu_dtype=train_config.mu_dtype,
+            optimizer=train_config.optimizer)
 
         # Stage 2: adversarial finetune with a real PatchGAN discriminator
         # (the reference wires the flags but always passes discriminator=None;

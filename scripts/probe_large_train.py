@@ -36,7 +36,8 @@ def main():
     rng = jax.random.PRNGKey(0)
     params = {"model": init_params(model, rng, image_size=res, batch=1)}
     tx = make_optimizer(learning_rate=1e-4, warmup_steps=100,
-                        mu_dtype=os.environ.get("PROBE_MU_DTYPE"))
+                        mu_dtype=os.environ.get("PROBE_MU_DTYPE"),
+                        optimizer=os.environ.get("PROBE_OPTIMIZER", "adamw"))
     state = init_train_state(params, tx)
     step = make_train_step(model, tx, weights=LossWeights(l1=1.0, kl=1e-8),
                            donate=True)

@@ -244,3 +244,24 @@ def test_optimizer_mu_dtype_bf16():
     new = optax.apply_updates(params, updates)
     assert bool(jnp.all(jnp.isfinite(new["w"])))
     assert float(jnp.max(jnp.abs(new["w"] - params["w"]))) > 0
+
+
+def test_optimizer_adafactor_state_is_factored():
+    # Adafactor's state must be ~O(rows+cols), not O(params) — the lever that
+    # fits 1B-param single-chip training (PERFORMANCE.md HBM budget).
+    import numpy as np
+    import optax
+
+    from deepl_project_tpu.training import make_optimizer
+
+    tx = make_optimizer(learning_rate=1e-3, warmup_steps=0,
+                        optimizer="adafactor")
+    params = {"w": jnp.ones((256, 512), jnp.float32)}
+    state = tx.init(params)
+    state_elems = sum(np.size(l) for l in jax.tree_util.tree_leaves(state))
+    assert state_elems < 256 * 512 / 10, state_elems  # factored, not dense
+    grads = {"w": jnp.full((256, 512), 0.1, jnp.float32)}
+    updates, state = tx.update(grads, state, params)
+    new = optax.apply_updates(params, updates)
+    assert bool(jnp.all(jnp.isfinite(new["w"])))
+    assert float(jnp.max(jnp.abs(new["w"] - params["w"]))) > 0
