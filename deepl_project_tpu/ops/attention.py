@@ -26,6 +26,11 @@ from .rope import apply_rope2d
 # multi-GB allocation; the query-chunked path is measured speed-equal on v5e
 # at N=4096 while bounding memory to O(B*h*chunk*N).
 _XLA_FULL_SOFTMAX_MAX_TOKENS = 2048
+# Middle band where the Pallas kernel beats XLA's fused softmax-attention on
+# v5e at production batch (b=32, h=12, d=64, N=1024: 4.51 vs 6.50 ms — the
+# stage-3 shape of every f16 model at 256px). XLA wins again at N=4096
+# (12.4 vs 16.4 ms) before losing for good at N>=8192.
+_PALLAS_MID_BAND = (1024, 2048)
 # Beyond this, even chunked XLA loses to the Pallas flash kernel (measured
 # 2.4x at N=16384 on v5e).
 _PALLAS_MIN_TOKENS = 8192
@@ -94,10 +99,13 @@ def core_attention(q, k, v, scale, impl: str = "auto") -> jax.Array:
         min_pallas = (_PALLAS_MIN_TOKENS_TRAIN if impl == "auto_train"
                       else _PALLAS_MIN_TOKENS)
         on_tpu = jax.default_backend() == "tpu"
-        if n <= _XLA_FULL_SOFTMAX_MAX_TOKENS:
+        pallas_ok = on_tpu and n % 512 == 0 and q.shape[-1] <= 128
+        lo, hi = _PALLAS_MID_BAND
+        if pallas_ok and lo <= n <= hi:
+            impl = "pallas"
+        elif n <= _XLA_FULL_SOFTMAX_MAX_TOKENS:
             impl = "xla"
-        elif (on_tpu and n >= min_pallas and n % 512 == 0
-              and q.shape[-1] <= 128):
+        elif pallas_ok and n >= min_pallas:
             impl = "pallas"
         else:
             impl = "xla_chunked"

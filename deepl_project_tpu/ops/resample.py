@@ -82,12 +82,63 @@ class Downsample(nn.Module):
         return y
 
 
+class _FusedUpConv(nn.Module):
+    """Exact fusion of nearest-x2 upsample + conv3x3(pad 1).
+
+    Output phase (i, j) of the upsampled grid sees only a 2x2 input window
+    whose taps are sums of the 3x3 kernel's rows/columns (nearest-neighbour
+    duplication collapses adjacent taps):  rows for i=0 are {W0, W1+W2},
+    for i=1 {W0+W1, W2}, likewise for columns.  So the op is four 2x2
+    stride-1 convs at INPUT resolution + pixel-shuffle — 16 vs 36
+    MACs/output (2.25x fewer FLOPs) and no materialized 4x-size
+    intermediate.  Param shapes/names match the plain conv ("kernel"
+    [3,3,Ci,Co], "bias" [Co]) so checkpoints are unaffected.
+    """
+
+    in_channels: int
+    out_channels: int
+    dtype: jnp.dtype = jnp.bfloat16
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        kernel = self.param("kernel", _conv_kernel_init(),
+                            (3, 3, self.in_channels, self.out_channels),
+                            self.param_dtype)
+        bias = self.param("bias", nn.initializers.zeros, (self.out_channels,),
+                          self.param_dtype)
+        w = kernel.astype(self.dtype)
+        xb = x.astype(self.dtype)
+        # Collapse kernel taps per output phase (see docstring).
+        rows = {0: jnp.stack([w[0], w[1] + w[2]]),        # input rows y-1, y
+                1: jnp.stack([w[0] + w[1], w[2]])}        # input rows y, y+1
+        dn = ("NHWC", "HWIO", "NHWC")
+        phases = []
+        for i in (0, 1):
+            wr = rows[i]
+            cols = {0: jnp.stack([wr[:, 0], wr[:, 1] + wr[:, 2]], axis=1),
+                    1: jnp.stack([wr[:, 0] + wr[:, 1], wr[:, 2]], axis=1)}
+            for j in (0, 1):
+                pad = ((1 - i, i), (1 - j, j))
+                phases.append(jax.lax.conv_general_dilated(
+                    xb, cols[j], window_strides=(1, 1), padding=pad,
+                    dimension_numbers=dn))
+        # [B,H,W,Co,4] with phase index i*2+j -> pixel-shuffle channel order.
+        y = jnp.stack(phases, axis=-1)
+        b, h, ww, c, _ = y.shape
+        y = depth_to_space(y.reshape(b, h, ww, c * 4), 2)
+        return y + bias.astype(self.dtype)
+
+
 class Upsample(nn.Module):
     """Conv upsample x2 with information-preserving DC shortcut."""
 
     in_channels: int
     out_channels: int
     use_dc_path: bool = True
+    # Exact fused nearest+conv main path (2.25x fewer FLOPs); disable to run
+    # the literal reference op order.
+    fuse_main: bool = True
     dtype: jnp.dtype = jnp.bfloat16
     param_dtype: jnp.dtype = jnp.float32
 
@@ -96,8 +147,14 @@ class Upsample(nn.Module):
         conv = functools.partial(
             nn.Conv, dtype=self.dtype, param_dtype=self.param_dtype,
             kernel_init=_conv_kernel_init())
-        y = nearest_upsample(x, 2)
-        y = conv(self.out_channels, (3, 3), padding=((1, 1), (1, 1)), name="main_0")(y)
+        if self.fuse_main:
+            y = _FusedUpConv(self.in_channels, self.out_channels,
+                             dtype=self.dtype, param_dtype=self.param_dtype,
+                             name="main_0")(x)
+        else:
+            y = nearest_upsample(x, 2)
+            y = conv(self.out_channels, (3, 3), padding=((1, 1), (1, 1)),
+                     name="main_0")(y)
         y = nn.silu(y)
         y = conv(self.out_channels, (3, 3), padding=((1, 1), (1, 1)), name="main_1")(y)
         if self.use_dc_path:

@@ -1,0 +1,70 @@
+"""Focused attention micro-bench at the in-model shapes (large @256, batch 32).
+
+Times each dispatch path at stage-2/3/4 shapes to validate the auto/auto_train
+thresholds at production batch sizes.
+
+Usage: PYTHONPATH=/root/repo:/root/.axon_site python scripts/bench_attention_shapes.py
+"""
+
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+
+os.makedirs("/tmp/jax_cache", exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+
+def timed(fn, *args, iters=20):
+    compiled = jax.jit(fn).lower(*args).compile()
+    fetch = jax.jit(lambda o: jnp.sum(o.astype(jnp.float32)))
+    float(fetch(compiled(*args)))
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            out = compiled(*args)
+        float(fetch(out))
+        best = min(best, (time.perf_counter() - t0) / iters)
+    return best
+
+
+def main():
+    from deepl_project_tpu.ops.attention import (core_attention, xla_attention,
+                                                 xla_attention_chunked)
+
+    rng = jax.random.PRNGKey(0)
+    shapes = [  # (batch, n, heads, head_dim) — large @256px stages 2/3/4
+        (32, 4096, 6, 64),
+        (32, 1024, 12, 64),
+        (32, 256, 24, 64),
+    ]
+    for b, n, h, d in shapes:
+        ks = jax.random.split(rng, 3)
+        q, k, v = (jax.random.normal(key, (b, n, h, d), jnp.bfloat16)
+                   for key in ks)
+        scale = d ** -0.5
+        print(f"-- b={b} n={n} h={h} d={d}", flush=True)
+        rows = [("xla_full", lambda q, k, v: xla_attention(q, k, v, scale))]
+        for chunk in (512, 1024, 2048):
+            if n % chunk == 0 and n > chunk:
+                rows.append((f"xla_chunked{chunk}",
+                             lambda q, k, v, c=chunk: xla_attention_chunked(
+                                 q, k, v, scale, chunk=c)))
+        if n % 512 == 0 and n >= 1024:
+            rows.append(("pallas", lambda q, k, v: core_attention(
+                q, k, v, scale, impl="pallas")))
+        for name, fn in rows:
+            try:
+                dt = timed(fn, q, k, v)
+                flops = 4 * b * h * n * n * d
+                print(f"  {name:16s} {dt*1e3:8.2f} ms  "
+                      f"{flops/dt/1e12:6.1f} TF/s", flush=True)
+            except Exception as e:  # noqa: BLE001
+                print(f"  {name:16s} FAILED: {type(e).__name__}", flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -239,3 +239,17 @@ def test_attention_impl_auto_train_in_model(rng):
     p = m.init(rng, x)
     np.testing.assert_allclose(np.asarray(m.apply(p, x)),
                                np.asarray(ref.apply(p, x)), rtol=1e-5)
+
+
+def test_fused_upsample_matches_reference_op_order(rng):
+    # The phase-decomposed main path (4x 2x2 convs + pixel-shuffle) must equal
+    # nearest-x2 + conv3x3 exactly (same params; weight-tap sums reassociate
+    # fp, hence the small tolerance).
+    fused = Upsample(24, 16, fuse_main=True, **F32)
+    plain = Upsample(24, 16, fuse_main=False, **F32)
+    x = jax.random.normal(rng, (2, 8, 8, 24))
+    p = plain.init(rng, x)
+    y_plain = plain.apply(p, x)
+    y_fused = fused.apply(p, x)  # identical param tree
+    np.testing.assert_allclose(np.asarray(y_fused), np.asarray(y_plain),
+                               rtol=1e-5, atol=1e-5)
