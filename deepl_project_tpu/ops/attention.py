@@ -121,6 +121,36 @@ def core_attention(q, k, v, scale, impl: str = "auto") -> jax.Array:
     return xla_attention(q, k, v, scale)
 
 
+class _LNParams(nn.Module):
+    """Parameter holder matching LayerNorm's tree ({scale, bias}) for the
+    fused-QKV path — created under the same child names (norm_q/k/v) so
+    checkpoints are identical either way."""
+
+    dim: int
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self):
+        scale = self.param("scale", nn.initializers.ones, (self.dim,),
+                           self.param_dtype)
+        bias = self.param("bias", nn.initializers.zeros, (self.dim,),
+                          self.param_dtype)
+        return scale, bias
+
+
+class _DenseParams(nn.Module):
+    """Parameter holder matching bias-free nn.Dense's tree ({kernel})."""
+
+    dim: int
+    features: int
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self):
+        return self.param("kernel", nn.initializers.truncated_normal(0.02),
+                          (self.dim, self.features), self.param_dtype)
+
+
 class AttentionRoPE(nn.Module):
     """Multi-head global attention block operating on NHWC feature maps."""
 
@@ -130,6 +160,14 @@ class AttentionRoPE(nn.Module):
     rope_pairing: str = "reference"
     dropout: float = 0.0
     impl: str = "auto"
+    # Fold the three QKV LayerNorm affines into one [C, 3C] projection:
+    # LN_i(x) @ W_i == xhat @ (diag(g_i) W_i) + b_i @ W_i with shared
+    # normalization statistics. Exact up to fp reassociation; params
+    # unchanged. Measured ~2% SLOWER end-to-end on v5e (46.35 -> 45.5 img/s
+    # large@256 b32): XLA already CSEs the stats and fuses each affine into
+    # its matmul, so the rewrite only adds weight-prep work. Kept as an
+    # option; default off.
+    fuse_qkv: bool = False
     # Mesh axis name for context parallelism: when set AND an ambient mesh
     # (jax.set_mesh) defines it, the attention core runs ring attention over
     # the token axis sharded on that mesh axis (shard_map island; GSPMD still
@@ -148,15 +186,38 @@ class AttentionRoPE(nn.Module):
         n = h * w
 
         xf = x.reshape(b, n, c)
-        dense = lambda name: nn.Dense(  # noqa: E731
-            self.dim, use_bias=False, dtype=self.dtype, param_dtype=self.param_dtype,
-            kernel_init=nn.initializers.truncated_normal(0.02), name=name)
-        norm = lambda name: LayerNorm(  # noqa: E731
-            self.dim, dtype=self.dtype, param_dtype=self.param_dtype, name=name)
+        if self.fuse_qkv:
+            ln = [_LNParams(self.dim, self.param_dtype, name=f"norm_{t}")()
+                  for t in "qkv"]
+            ws = [_DenseParams(self.dim, self.dim, self.param_dtype,
+                               name=f"to_{t}")() for t in "qkv"]
+            # One shared-stats normalization pass (fp32, LayerNorm semantics).
+            x32 = xf.astype(jnp.float32)
+            mean = jnp.mean(x32, axis=-1, keepdims=True)
+            var = jnp.mean(jnp.square(x32 - mean), axis=-1, keepdims=True)
+            xhat = ((x32 - mean) * jax.lax.rsqrt(var + 1e-5)).astype(self.dtype)
+            # Fold each norm's affine into its projection (fp32 weight prep —
+            # O(C^2), negligible next to the O(N*C^2) matmul).
+            w_fused = jnp.concatenate(
+                [g[:, None] * w for (g, _), w in zip(ln, ws)], axis=1)
+            b_fused = jnp.concatenate(
+                [bb @ w for (_, bb), w in zip(ln, ws)])
+            qkv = (jnp.dot(xhat, w_fused.astype(self.dtype),
+                           preferred_element_type=jnp.float32)
+                   + b_fused[None, None]).astype(self.dtype)
+            q, k, v = jnp.split(qkv, 3, axis=-1)
+        else:
+            dense = lambda name: nn.Dense(  # noqa: E731
+                self.dim, use_bias=False, dtype=self.dtype,
+                param_dtype=self.param_dtype,
+                kernel_init=nn.initializers.truncated_normal(0.02), name=name)
+            norm = lambda name: LayerNorm(  # noqa: E731
+                self.dim, dtype=self.dtype, param_dtype=self.param_dtype,
+                name=name)
 
-        q = dense("to_q")(norm("norm_q")(xf))
-        k = dense("to_k")(norm("norm_k")(xf))
-        v = dense("to_v")(norm("norm_v")(xf))
+            q = dense("to_q")(norm("norm_q")(xf))
+            k = dense("to_k")(norm("norm_k")(xf))
+            v = dense("to_v")(norm("norm_v")(xf))
 
         q = q.reshape(b, n, num_heads, self.head_dim)
         k = k.reshape(b, n, num_heads, self.head_dim)

@@ -57,12 +57,45 @@ def nearest_upsample(x: jax.Array, r: int = 2) -> jax.Array:
     return jnp.repeat(x, r, axis=2)
 
 
+class _FusedDownDC(nn.Module):
+    """Exact fusion of pixel-unshuffle(2) + 1x1 conv as ONE 2x2 stride-2 conv.
+
+    space_to_depth orders channels as c*4 + i*2 + j, so the 1x1 kernel
+    [1,1,4C,Co] reshapes to [C,2,2,Co] -> HWIO [2,2,C,Co] and the op becomes a
+    single strided conv — no materialized unshuffled intermediate, no
+    transpose chain.  Param shapes/names match the 1x1 conv exactly, so
+    checkpoints (incl. converted reference weights) are unaffected.
+    """
+
+    in_channels: int
+    out_channels: int
+    dtype: jnp.dtype = jnp.bfloat16
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        kernel = self.param("kernel", _conv_kernel_init(),
+                            (1, 1, 4 * self.in_channels, self.out_channels),
+                            self.param_dtype)
+        bias = self.param("bias", nn.initializers.zeros, (self.out_channels,),
+                          self.param_dtype)
+        w = kernel.astype(self.dtype).reshape(
+            self.in_channels, 2, 2, self.out_channels).transpose(1, 2, 0, 3)
+        y = jax.lax.conv_general_dilated(
+            x.astype(self.dtype), w, window_strides=(2, 2), padding="VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        return y + bias.astype(self.dtype)
+
+
 class Downsample(nn.Module):
     """Conv downsample x2 with information-preserving DC shortcut."""
 
     in_channels: int
     out_channels: int
     use_dc_path: bool = True
+    # Exact fused DC path (single 2x2 s2 conv); disable for the literal
+    # reference op order.
+    fuse_dc: bool = True
     dtype: jnp.dtype = jnp.bfloat16
     param_dtype: jnp.dtype = jnp.float32
 
@@ -76,8 +109,14 @@ class Downsample(nn.Module):
         y = conv(self.out_channels, (3, 3), strides=(2, 2),
                  padding=((1, 1), (1, 1)), name="main_1")(y)
         if self.use_dc_path:
-            dc = space_to_depth(x, 2)
-            dc = conv(self.out_channels, (1, 1), name="dc_conv")(dc)
+            if self.fuse_dc:
+                dc = _FusedDownDC(self.in_channels, self.out_channels,
+                                  dtype=self.dtype,
+                                  param_dtype=self.param_dtype,
+                                  name="dc_conv")(x)
+            else:
+                dc = space_to_depth(x, 2)
+                dc = conv(self.out_channels, (1, 1), name="dc_conv")(dc)
             y = y + dc
         return y
 

@@ -253,3 +253,30 @@ def test_fused_upsample_matches_reference_op_order(rng):
     y_fused = fused.apply(p, x)  # identical param tree
     np.testing.assert_allclose(np.asarray(y_fused), np.asarray(y_plain),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_fused_downsample_dc_matches_reference_op_order(rng):
+    # The 2x2 stride-2 conv DC path must equal pixel-unshuffle + 1x1 conv
+    # bit-for-bit up to fp reorder (identical params, identical math).
+    fused = Downsample(24, 16, fuse_dc=True, **F32)
+    plain = Downsample(24, 16, fuse_dc=False, **F32)
+    x = jax.random.normal(rng, (2, 8, 8, 24))
+    p = plain.init(rng, x)
+    np.testing.assert_allclose(np.asarray(fused.apply(p, x)),
+                               np.asarray(plain.apply(p, x)),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_fused_qkv_matches_separate_projections(rng):
+    # Folding the three QKV LayerNorm affines into one [C,3C] matmul must be
+    # exact up to fp reassociation, with an identical param tree.
+    fused = AttentionRoPE(128, head_dim=64, impl="xla", fuse_qkv=True, **F32)
+    plain = AttentionRoPE(128, head_dim=64, impl="xla", fuse_qkv=False, **F32)
+    x = jax.random.normal(rng, (2, 8, 8, 128))
+    p_plain = plain.init(rng, x)
+    p_fused = fused.init(rng, x)
+    assert (jax.tree_util.tree_structure(p_plain)
+            == jax.tree_util.tree_structure(p_fused))
+    np.testing.assert_allclose(np.asarray(fused.apply(p_plain, x)),
+                               np.asarray(plain.apply(p_plain, x)),
+                               rtol=1e-4, atol=1e-5)
