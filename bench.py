@@ -23,7 +23,7 @@ jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 # Swept 8/16/32/64 on v5e: 26.6/32.8/40.8/42.2 img/s — 32 is the knee.
-BATCH = 32
+BATCH = int(os.environ.get("BENCH_BATCH", "32"))
 RES = 256
 VARIANT = "large"
 A100_BF16_PEAK_TFLOPS = 312.0

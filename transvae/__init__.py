@@ -11,9 +11,13 @@ callable wrapper over deepl_project_tpu.losses.transvae_loss).
 from deepl_project_tpu import (TransVAE, TransVAEConfig, VARIANTS,  # noqa: F401
                                create_transvae, get_config)
 from deepl_project_tpu.losses import LossWeights, transvae_loss
+from deepl_project_tpu.data.transforms import (preprocess_file,  # noqa: F401
+                                               preprocess_image)
 from deepl_project_tpu.models import (TransVAEDecoder, TransVAEEncoder,  # noqa: F401
-                                      count_params, from_pretrained,
-                                      get_last_layer, init_params)
+                                      count_params,
+                                      enable_gradient_checkpointing,
+                                      from_pretrained, get_last_layer,
+                                      get_num_params, init_params)
 
 
 class TransVAELoss:
@@ -40,4 +44,6 @@ class TransVAELoss:
 
 __all__ = ["TransVAE", "TransVAELoss", "create_transvae", "TransVAEConfig",
            "VARIANTS", "get_config", "TransVAEEncoder", "TransVAEDecoder",
-           "count_params", "from_pretrained", "get_last_layer", "init_params"]
+           "count_params", "from_pretrained", "get_last_layer", "init_params",
+           "get_num_params", "enable_gradient_checkpointing",
+           "preprocess_image", "preprocess_file"]
