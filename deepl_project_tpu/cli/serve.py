@@ -1,0 +1,99 @@
+"""Serving CLI: batched TransVAE inference over HTTP (npy payloads).
+
+Beyond the reference (which ships only scripts): a production entry point for
+the deployment/serving use the rebuild targets. See deepl_project_tpu/serving.py
+for the batching/compile-cache design.
+
+Usage:
+  python -m deepl_project_tpu.cli.serve --checkpoint out/vae --port 8471
+  python -m deepl_project_tpu.cli.serve --variant tiny            # random init
+
+  curl -s localhost:8471/healthz
+  python - <<'PY'
+  import io, urllib.request, numpy as np
+  x = np.random.rand(2, 256, 256, 3).astype(np.float32)
+  buf = io.BytesIO(); np.save(buf, x)
+  r = urllib.request.urlopen("http://localhost:8471/reconstruct",
+                             data=buf.getvalue())
+  print(np.load(io.BytesIO(r.read())).shape)
+  PY
+"""
+
+from __future__ import annotations
+
+import argparse
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description="Serve TransVAE inference")
+    p.add_argument("--checkpoint", default=None,
+                   help="checkpoint dir (config + params); omit for random "
+                        "init of --variant (testing)")
+    p.add_argument("--variant", default="tiny")
+    p.add_argument("--compression_ratio", type=int, default=16)
+    p.add_argument("--latent_dim", type=int, default=None)
+    p.add_argument("--host", default="127.0.0.1")
+    p.add_argument("--port", type=int, default=8471)
+    p.add_argument("--max_batch", type=int, default=32)
+    p.add_argument("--batch_window_ms", type=float, default=3.0)
+    p.add_argument("--warmup_resolution", type=int, default=0,
+                   help="if set, pre-compile encode/decode/reconstruct at "
+                        "this resolution before accepting traffic")
+    p.add_argument("--platform", default=None, choices=["cpu", "tpu"],
+                   help="force a JAX platform (the axon TPU plugin ignores "
+                        "JAX_PLATFORMS; this sets it programmatically)")
+    return p
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+
+    import jax
+
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+    import numpy as np
+
+    from ..config import get_config
+    from ..models import TransVAE, init_params
+    from ..serving import InferenceEngine, make_http_server
+
+    if args.checkpoint:
+        from ..training.checkpoint import load_config, restore_params
+
+        cfg = load_config(args.checkpoint)
+        model = TransVAE(cfg)
+        params = restore_params(args.checkpoint)
+        if isinstance(params, dict) and "model" in params:
+            params = params["model"]
+    else:
+        cfg = get_config(args.variant, args.compression_ratio, args.latent_dim)
+        model = TransVAE(cfg)
+        params = init_params(model, jax.random.PRNGKey(0), image_size=64)
+        print("[serve] WARNING: no --checkpoint; serving random weights")
+
+    engine = InferenceEngine(model, params, max_batch=args.max_batch,
+                             batch_window_ms=args.batch_window_ms)
+    if args.warmup_resolution:
+        r = args.warmup_resolution
+        f = cfg.compression_ratio
+        engine.run("reconstruct",
+                   np.zeros((1, r, r, 3), np.float32))
+        engine.run("encode", np.zeros((1, r, r, 3), np.float32))
+        engine.run("decode",
+                   np.zeros((1, r // f, r // f, cfg.latent_dim), np.float32))
+        print(f"[serve] warmed up at {r}px")
+    engine.start()
+    server = make_http_server(engine, args.host, args.port)
+    print(f"[serve] {cfg.variant} on http://{args.host}:{args.port} "
+          f"(device {jax.devices()[0]})")
+    try:
+        server.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    finally:
+        engine.stop()
+
+
+if __name__ == "__main__":
+    main()

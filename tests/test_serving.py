@@ -1,0 +1,97 @@
+"""Serving tests: engine batching semantics + HTTP round trip (CPU)."""
+
+import io
+import threading
+import urllib.request
+
+import jax
+import numpy as np
+import pytest
+
+from deepl_project_tpu import TransVAE, get_config
+from deepl_project_tpu.models import init_params
+from deepl_project_tpu.serving import InferenceEngine, make_http_server
+
+
+@pytest.fixture(scope="module")
+def engine():
+    cfg = get_config("tiny", 16, 32).replace(
+        depths=(1, 1, 1), base_dims=(16, 16, 32), latent_dim=4, head_dim=16,
+        dtype="float32", attention_impl="xla")
+    model = TransVAE(cfg)
+    params = init_params(model, jax.random.PRNGKey(0), image_size=16)
+    return InferenceEngine(model, params, max_batch=8, batch_window_ms=20.0)
+
+
+def test_engine_ops_shapes(engine):
+    x = np.random.rand(2, 16, 16, 3).astype(np.float32)
+    mu = engine.run("encode", x)
+    assert mu.shape == (2, 4, 4, 4)
+    img = engine.run("decode", mu)
+    assert img.shape == (2, 16, 16, 3)
+    assert img.min() >= 0.0 and img.max() <= 1.0  # sigmoid output contract
+    rec = engine.run("reconstruct", x)
+    assert rec.shape == x.shape
+
+
+def test_engine_padding_and_split(engine):
+    # Non-pow2 batch pads (result unchanged for the real rows); batches over
+    # max_batch split transparently.
+    x = np.random.rand(3, 16, 16, 3).astype(np.float32)
+    r3 = engine.run("reconstruct", x)
+    r1 = engine.run("reconstruct", x[:1])
+    np.testing.assert_allclose(r3[:1], r1, rtol=1e-5, atol=1e-6)
+    big = np.random.rand(9, 16, 16, 3).astype(np.float32)  # > max_batch=8
+    assert engine.run("reconstruct", big).shape[0] == 9
+
+
+def test_dynamic_batcher_groups_concurrent_requests(engine):
+    engine.start()
+    try:
+        xs = [np.random.rand(1, 16, 16, 3).astype(np.float32)
+              for _ in range(4)]
+        outs = [None] * 4
+
+        def worker(i):
+            outs[i] = engine.submit("reconstruct", xs[i])
+
+        threads = [threading.Thread(target=worker, args=(i,))
+                   for i in range(4)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=30)
+        for i, o in enumerate(outs):
+            assert o is not None and o.shape == (1, 16, 16, 3)
+            np.testing.assert_allclose(
+                o, engine.run("reconstruct", xs[i]), rtol=1e-4, atol=1e-5)
+    finally:
+        engine.stop()
+
+
+def test_http_round_trip(engine):
+    engine.start()
+    server = make_http_server(engine, "127.0.0.1", 0)  # ephemeral port
+    port = server.server_address[1]
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    try:
+        with urllib.request.urlopen(
+                f"http://127.0.0.1:{port}/healthz", timeout=10) as r:
+            assert b"variant" in r.read()
+        x = np.random.rand(2, 16, 16, 3).astype(np.float32)
+        buf = io.BytesIO()
+        np.save(buf, x)
+        with urllib.request.urlopen(
+                f"http://127.0.0.1:{port}/reconstruct", data=buf.getvalue(),
+                timeout=60) as r:
+            out = np.load(io.BytesIO(r.read()))
+        assert out.shape == (2, 16, 16, 3)
+        # Unknown op → 400/404, not a crash.
+        req = urllib.request.Request(f"http://127.0.0.1:{port}/nope",
+                                     data=b"x")
+        with pytest.raises(urllib.error.HTTPError):
+            urllib.request.urlopen(req, timeout=10)
+    finally:
+        server.shutdown()
+        engine.stop()
