@@ -22,7 +22,9 @@ os.makedirs("/tmp/jax_cache", exist_ok=True)
 jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
-# Swept 8/16/32/64 on v5e: 26.6/32.8/40.8/42.2 img/s — 32 is the knee.
+# Swept 8/16/32/64 on v5e: 26.6/32.8/40.8/42.2 img/s pre-optimization; with
+# the Pallas mid-band dispatch + fused resample paths, 64 regressed to 44.65
+# vs 46.35 at 32 — 32 is optimal. Override with BENCH_BATCH for sweeps.
 BATCH = int(os.environ.get("BENCH_BATCH", "32"))
 RES = 256
 VARIANT = "large"
