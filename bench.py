@@ -26,7 +26,7 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 # the Pallas mid-band dispatch + fused resample paths, 64 regressed to 44.65
 # vs 46.35 at 32 — 32 is optimal. Override with BENCH_BATCH for sweeps.
 BATCH = int(os.environ.get("BENCH_BATCH", "32"))
-RES = 256
+RES = int(os.environ.get("BENCH_RES", "256"))
 VARIANT = "large"
 A100_BF16_PEAK_TFLOPS = 312.0
 A100_ASSUMED_MFU = 0.40

@@ -101,7 +101,11 @@ def core_attention(q, k, v, scale, impl: str = "auto") -> jax.Array:
         on_tpu = jax.default_backend() == "tpu"
         pallas_ok = on_tpu and n % 512 == 0 and q.shape[-1] <= 128
         lo, hi = _PALLAS_MID_BAND
-        if pallas_ok and lo <= n <= hi:
+        # Mid-band Pallas is an INFERENCE win only: in training its backward
+        # recomputes the tiles, while XLA's saved-weights backward is cheap at
+        # this N (measured: large@256 train 767 -> 945 ms/step with mid-band
+        # in 'auto_train'; inference 44.9 -> 46.4 img/s with it in 'auto').
+        if impl == "auto" and pallas_ok and lo <= n <= hi:
             impl = "pallas"
         elif n <= _XLA_FULL_SOFTMAX_MAX_TOKENS:
             impl = "xla"
