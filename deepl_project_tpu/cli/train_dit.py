@@ -105,6 +105,17 @@ def main(argv=None):
     if args.plain_dit:
         dcfg = dcfg.replace(use_rmsnorm=False, use_swiglu=False, use_rope=False)
     dit = DiT(dcfg)
+    # Sidecar config so cli/sample_dit can rebuild the exact model later.
+    import dataclasses as _dc
+    import json as _json
+    import os as _os
+    _os.makedirs(args.output_dir, exist_ok=True)
+    with open(_os.path.join(args.output_dir, "dit_config.json"), "w") as f:
+        _json.dump({"dit": _dc.asdict(dcfg),
+                    "vae_variant": args.vae_variant,
+                    "vae_compression": args.vae_compression,
+                    "vae_checkpoint": args.vae_checkpoint,
+                    "resolution": args.resolution, "grid": grid}, f, indent=2)
     dit_params = init_dit_params(dit, jax.random.fold_in(rng, 1), grid=grid)
     n_params = sum(int(np.prod(p.shape))
                    for p in jax.tree_util.tree_leaves(dit_params))

@@ -209,3 +209,24 @@ def test_train_dit_cli_resume(tmp_path):
     main(common + ["--total_steps", "2", "--save_every", "2"])
     # Resume continues from step 2 to 4 (same arch/opt config).
     main(common + ["--total_steps", "4", "--save_every", "0", "--resume"])
+
+
+def test_sample_dit_cli_end_to_end(tmp_path):
+    # Train 2 steps (writes ckpt + dit_config.json sidecar), then sample from
+    # the checkpoint via the standalone CLI (EMA params path).
+    from deepl_project_tpu.cli.sample_dit import main as sample_main
+    from deepl_project_tpu.cli.train_dit import main as train_main
+
+    out = str(tmp_path / "run")
+    train_main(["--dit_variant", "S", "--vae_variant", "tiny", "--data",
+                "synthetic", "--resolution", "64", "--batch_size", "2",
+                "--total_steps", "2", "--save_every", "2", "--sample_every",
+                "0", "--stats_batches", "1", "--log_every", "1",
+                "--output_dir", out])
+    samples = str(tmp_path / "samples")
+    sample_main(["--checkpoint", out, "--num_samples", "2", "--sample_steps",
+                 "3", "--cfg_scale", "1.0", "--output_dir", samples])
+    import os
+    assert os.path.exists(os.path.join(samples, "grid.png"))
+    assert len([f for f in os.listdir(samples)
+                if f.startswith("sample_")]) == 2
