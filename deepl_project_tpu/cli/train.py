@@ -11,7 +11,8 @@ from __future__ import annotations
 import argparse
 
 from ..config import get_config
-from ..data import batch_iterator, make_dataset
+from ..data import batch_iterator, make_dataset  # noqa: F401 (batch_iterator is public API)
+from ..data.pipeline import input_pipeline
 from ..losses import LossWeights
 from ..training.trainer import Trainer, TrainerConfig
 
@@ -137,9 +138,14 @@ def main(argv=None):
              and not args.data.startswith("hf:") else
              {"num_samples": 10 ** 9})
     source = make_dataset(args.data, resolution=args.resolution, **extra)
-    data = batch_iterator(source, args.batch_size)
 
     trainer = Trainer(model_cfg, train_cfg)
+    # Prefetch + stage batches on device in the trainer's (data, model)
+    # sharding: host-side generation/decode and the H2D copy overlap the
+    # previous step instead of serializing with it.
+    from ..parallel import batch_sharding
+    data = input_pipeline(source, args.batch_size,
+                          sharding=batch_sharding(trainer.mesh))
     trainer.fit(data)
 
 

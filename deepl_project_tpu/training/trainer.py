@@ -181,6 +181,10 @@ class Trainer:
         sharding = batch_sharding(self.mesh)
         timer = StepTimer()
 
+        # Host-side step counter: reading state.step back every iteration
+        # would force a device sync per step and serialize the pipeline; sync
+        # happens only on log/save boundaries.
+        step = int(state.step)
         for epoch in range(start_epoch, self.cfg.num_epochs):
             epoch_metrics = []
             for _ in range(self.cfg.steps_per_epoch):
@@ -188,10 +192,11 @@ class Trainer:
                     batch = next(data_iter)
                 except StopIteration:
                     break
-                batch = jax.device_put(batch, sharding)
+                if not isinstance(batch, jax.Array):
+                    batch = jax.device_put(batch, sharding)
                 state, metrics = self.step_fn(state, batch, rng)
                 timer.tick(self.cfg.batch_size)
-                step = int(state.step)
+                step += 1
                 if step % self.cfg.log_every == 0:
                     host = {k: float(v) for k, v in metrics.items()}
                     host["images_per_sec"] = timer.images_per_sec
