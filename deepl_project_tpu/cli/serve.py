@@ -39,6 +39,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--warmup_resolution", type=int, default=0,
                    help="if set, pre-compile encode/decode/reconstruct at "
                         "this resolution before accepting traffic")
+    p.add_argument("--warmup_ops", default="encode,decode,reconstruct",
+                   help="comma-separated ops to pre-compile across the full "
+                        "batch-bucket ladder at --warmup_resolution")
+    p.add_argument("--warmup_dtypes", default="float32",
+                   help="comma-separated response encodings to pre-compile "
+                        "(float32, float16, uint8)")
     p.add_argument("--platform", default=None, choices=["cpu", "tpu"],
                    help="force a JAX platform (the axon TPU plugin ignores "
                         "JAX_PLATFORMS; this sets it programmatically)")
@@ -75,14 +81,12 @@ def main(argv=None):
     engine = InferenceEngine(model, params, max_batch=args.max_batch,
                              batch_window_ms=args.batch_window_ms)
     if args.warmup_resolution:
-        r = args.warmup_resolution
-        f = cfg.compression_ratio
-        engine.run("reconstruct",
-                   np.zeros((1, r, r, 3), np.float32))
-        engine.run("encode", np.zeros((1, r, r, 3), np.float32))
-        engine.run("decode",
-                   np.zeros((1, r // f, r // f, cfg.latent_dim), np.float32))
-        print(f"[serve] warmed up at {r}px")
+        ops = tuple(o for o in args.warmup_ops.split(",") if o)
+        dts = tuple(None if d in ("float32", "") else d
+                    for d in args.warmup_dtypes.split(","))
+        engine.warmup(args.warmup_resolution, ops=ops, dtypes=dts)
+        print(f"[serve] warmed up {ops} at {args.warmup_resolution}px "
+              f"across batch buckets up to {args.max_batch}")
     engine.start()
     server = make_http_server(engine, args.host, args.port)
     print(f"[serve] {cfg.variant} on http://{args.host}:{args.port} "

@@ -61,59 +61,85 @@ class InferenceEngine:
         self._thread: threading.Thread | None = None
 
     # -- device functions -------------------------------------------------
-    def _fn(self, op: str):
+    def _fn(self, op: str, out_dtype: str | None):
         model = self.model
+
+        def finish(y):
+            # On-device output encoding: the device->host fetch (PCIe, or the
+            # dev tunnel) then moves 1/4 (uint8) or 1/2 (float16) the bytes —
+            # quantizing after the fetch saves nothing.
+            if out_dtype == "uint8":
+                return jnp.clip(jnp.round(y * 255.0), 0, 255).astype(jnp.uint8)
+            if out_dtype == "float16":
+                return y.astype(jnp.float16)
+            return y
+
         if op == "encode":
             def f(params, x):
                 mu, _ = model.apply({"params": params}, x,
                                     method=lambda m, x: m.encode(x))
-                return mu
+                return (mu.astype(jnp.float16) if out_dtype == "float16"
+                        else mu.astype(jnp.float32))
         elif op == "decode":
             def f(params, z):
                 logits = model.apply({"params": params}, z,
                                      method=lambda m, z: m.decode(z))
-                return jax.nn.sigmoid(logits.astype(jnp.float32))
+                return finish(jax.nn.sigmoid(logits.astype(jnp.float32)))
         elif op == "reconstruct":
             def f(params, x):
                 recon, _, _ = model.apply({"params": params}, x, sample=False)
-                return jax.nn.sigmoid(recon.astype(jnp.float32))
+                return finish(jax.nn.sigmoid(recon.astype(jnp.float32)))
         else:
             raise ValueError(op)
         return f
 
-    def _compiled_for(self, op: str, shape: tuple) -> Any:
-        key = (op,) + shape
+    def _compiled_for(self, op: str, shape: tuple,
+                      out_dtype: str | None) -> Any:
+        key = (op, out_dtype) + shape
         if key not in self._compiled:
-            self._compiled[key] = jax.jit(self._fn(op))
+            self._compiled[key] = jax.jit(self._fn(op, out_dtype))
         return self._compiled[key]
 
-    def run(self, op: str, arr: np.ndarray) -> np.ndarray:
-        """Run one already-batched array through the device (pads to the
-        bucketed batch size)."""
+    def run_async(self, op: str, arr: np.ndarray,
+                  out_dtype: str | None = None):
+        """Dispatch one bucketed batch; returns the (still-materializing)
+        device array — JAX dispatch is async, so the caller can overlap the
+        next dispatch with this result's device->host fetch."""
         b = arr.shape[0]
         bb = _next_pow2(b, self.max_batch)
-        if bb < b:  # request larger than max_batch: split
-            parts = [self.run(op, arr[i:i + self.max_batch])
-                     for i in range(0, b, self.max_batch)]
-            return np.concatenate(parts, axis=0)
+        assert bb >= b, (b, self.max_batch)
         if bb != b:
             pad = np.zeros((bb - b,) + arr.shape[1:], arr.dtype)
             arr = np.concatenate([arr, pad], axis=0)
         x = jnp.asarray(arr, dtype=self.model.config.compute_dtype)
-        out = np.asarray(self._compiled_for(op, x.shape)(self.params, x),
-                         dtype=np.float32)
-        return out[:b]
+        return self._compiled_for(op, x.shape, out_dtype)(self.params, x)
+
+    def run(self, op: str, arr: np.ndarray,
+            out_dtype: str | None = None) -> np.ndarray:
+        """Run one already-batched array through the device (pads to the
+        bucketed batch size; splits when larger than max_batch)."""
+        b = arr.shape[0]
+        if b > self.max_batch:
+            parts = [self.run(op, arr[i:i + self.max_batch], out_dtype)
+                     for i in range(0, b, self.max_batch)]
+            return np.concatenate(parts, axis=0)
+        return np.asarray(self.run_async(op, arr, out_dtype))[:b]
 
     # -- dynamic batching -------------------------------------------------
-    def submit(self, op: str, arr: np.ndarray) -> np.ndarray:
+    def submit(self, op: str, arr: np.ndarray,
+               out_dtype: str | None = None) -> np.ndarray:
         """Thread-safe: enqueue a request and wait for its result. Requests
-        with the same (op, item-shape) arriving within the batch window run
-        as one device program."""
+        with the same (op, out_dtype, item-shape) arriving within the batch
+        window run as one device program."""
         if self._thread is None:
-            return self.run(op, arr)  # dispatcher not started: direct path
+            return self.run(op, arr, out_dtype)  # dispatcher not started
+        if arr.shape[0] > self.max_batch:  # oversized request: chunk it
+            return np.concatenate(
+                [self.submit(op, arr[i:i + self.max_batch], out_dtype)
+                 for i in range(0, arr.shape[0], self.max_batch)], axis=0)
         ev = threading.Event()
         slot: dict = {}
-        self._queue.put((op, arr, ev, slot))
+        self._queue.put(((op, out_dtype), arr, ev, slot))
         ev.wait()
         if "error" in slot:
             raise RuntimeError(slot["error"])
@@ -121,15 +147,26 @@ class InferenceEngine:
 
     def start(self):
         self._stop.clear()  # allow stop() -> start() restart
+        # Bounded in-flight pipeline: the dispatcher keeps dispatching device
+        # programs while the fetch thread drains completed groups to waiters
+        # — device compute overlaps the device->host copies.
+        self._fetch_q = queue.Queue(maxsize=2)
         self._thread = threading.Thread(target=self._dispatch_loop,
                                         daemon=True)
+        self._fetch_thread = threading.Thread(target=self._fetch_loop,
+                                              daemon=True)
         self._thread.start()
+        self._fetch_thread.start()
 
     def stop(self):
         self._stop.set()
         if self._thread is not None:
             self._thread.join(timeout=5)
             self._thread = None
+        if getattr(self, "_fetch_thread", None) is not None:
+            self._fetch_q.put(None)
+            self._fetch_thread.join(timeout=5)
+            self._fetch_thread = None
 
     def _dispatch_loop(self):
         while not self._stop.is_set():
@@ -138,7 +175,7 @@ class InferenceEngine:
             except queue.Empty:
                 continue
             group = [first]
-            op, arr0 = first[0], first[1]
+            (op, out_dtype), arr0 = first[0], first[1]
             deadline = time.monotonic() + self.batch_window_s
             total = arr0.shape[0]
             while total < self.max_batch:
@@ -149,7 +186,8 @@ class InferenceEngine:
                     nxt = self._queue.get(timeout=timeout)
                 except queue.Empty:
                     break
-                if (nxt[0] == op and nxt[1].shape[1:] == arr0.shape[1:]
+                if (nxt[0] == (op, out_dtype)
+                        and nxt[1].shape[1:] == arr0.shape[1:]
                         and total + nxt[1].shape[0] <= self.max_batch):
                     group.append(nxt)
                     total += nxt[1].shape[0]
@@ -158,16 +196,56 @@ class InferenceEngine:
                     break
             try:
                 batch = np.concatenate([g[1] for g in group], axis=0)
-                out = self.run(op, batch)
+                dev_out = self.run_async(op, batch, out_dtype)
+                self._fetch_q.put((dev_out, batch.shape[0], group))
+            except Exception as e:  # noqa: BLE001 — report to all waiters
+                for _, _, ev, slot in group:
+                    slot["error"] = f"{type(e).__name__}: {e}"
+                    ev.set()
+
+    def _fetch_loop(self):
+        while True:
+            item = self._fetch_q.get()
+            if item is None:
+                return
+            dev_out, nreal, group = item
+            try:
+                out = np.asarray(dev_out)[:nreal]
                 ofs = 0
                 for _, a, ev, slot in group:
                     slot["result"] = out[ofs:ofs + a.shape[0]]
                     ofs += a.shape[0]
                     ev.set()
-            except Exception as e:  # noqa: BLE001 — report to all waiters
+            except Exception as e:  # noqa: BLE001
                 for _, _, ev, slot in group:
                     slot["error"] = f"{type(e).__name__}: {e}"
                     ev.set()
+
+    def warmup(self, resolution: int, ops: tuple = ("encode", "decode",
+                                                     "reconstruct"),
+               dtypes: tuple = (None,)):
+        """Pre-compile the full power-of-two batch-bucket ladder for each op
+        so steady-state traffic never hits an XLA compile. Without this, the
+        first grouped batch of each size stalls the dispatcher for the
+        compile (minutes for big variants) — measured as a 100x throughput
+        collapse in a cold load test."""
+        cfg = self.model.config
+        f = cfg.compression_ratio
+        b = 1
+        buckets = []
+        while b <= self.max_batch:
+            buckets.append(b)
+            b *= 2
+        for op in ops:
+            for bb in buckets:
+                if op == "decode":
+                    arr = np.zeros((bb, resolution // f, resolution // f,
+                                    cfg.latent_dim), np.float32)
+                else:
+                    arr = np.zeros((bb, resolution, resolution, 3),
+                                   np.float32)
+                for dt in dtypes:
+                    self.run(op, arr, dt)
 
     def stats(self) -> dict:
         return {
@@ -203,7 +281,10 @@ def make_http_server(engine: InferenceEngine, host: str = "127.0.0.1",
                 self._send(404, b"not found", "text/plain")
 
         def do_POST(self):
-            op = self.path.strip("/")
+            from urllib.parse import parse_qs, urlparse
+
+            parsed = urlparse(self.path)
+            op = parsed.path.strip("/")
             if op not in ("encode", "decode", "reconstruct"):
                 self._send(404, b"unknown op", "text/plain")
                 return
@@ -211,7 +292,16 @@ def make_http_server(engine: InferenceEngine, host: str = "127.0.0.1",
                 n = int(self.headers.get("Content-Length", "0"))
                 arr = np.load(io.BytesIO(self.rfile.read(n)),
                               allow_pickle=False)
-                out = engine.submit(op, np.asarray(arr, np.float32))
+                # ?dtype=uint8|float16 encodes the result ON DEVICE so the
+                # device->host fetch itself moves 4x/2x fewer bytes (image
+                # ops emit [0,1] floats; encode supports float16 only).
+                q = parse_qs(parsed.query)
+                want = q.get("dtype", [None])[0]
+                if want not in (None, "uint8", "float16"):
+                    raise ValueError(f"bad dtype {want!r}")
+                if op == "encode" and want == "uint8":
+                    raise ValueError("encode supports dtype=float16 only")
+                out = engine.submit(op, np.asarray(arr, np.float32), want)
                 buf = io.BytesIO()
                 np.save(buf, out)
                 self._send(200, buf.getvalue(), "application/octet-stream")

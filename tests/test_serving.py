@@ -95,3 +95,33 @@ def test_http_round_trip(engine):
     finally:
         server.shutdown()
         engine.stop()
+
+
+def test_http_uint8_response(engine):
+    engine.start()
+    server = make_http_server(engine, "127.0.0.1", 0)
+    port = server.server_address[1]
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    try:
+        x = np.random.rand(1, 16, 16, 3).astype(np.float32)
+        buf = io.BytesIO()
+        np.save(buf, x)
+        with urllib.request.urlopen(
+                f"http://127.0.0.1:{port}/reconstruct?dtype=uint8",
+                data=buf.getvalue(), timeout=60) as r:
+            out = np.load(io.BytesIO(r.read()))
+        assert out.dtype == np.uint8 and out.shape == (1, 16, 16, 3)
+    finally:
+        server.shutdown()
+        engine.stop()
+
+
+def test_submit_oversized_request_chunks(engine):
+    engine.start()
+    try:
+        big = np.random.rand(9, 16, 16, 3).astype(np.float32)  # > max_batch=8
+        out = engine.submit("reconstruct", big)
+        assert out.shape[0] == 9
+    finally:
+        engine.stop()
