@@ -45,6 +45,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--warmup_dtypes", default="float32",
                    help="comma-separated response encodings to pre-compile "
                         "(float32, float16, uint8)")
+    p.add_argument("--warmup_uint8_inputs", action="store_true",
+                   help="pre-compile for uint8 request payloads (the natural "
+                        "decoded-image dtype; quarters the upload bytes)")
     p.add_argument("--platform", default=None, choices=["cpu", "tpu"],
                    help="force a JAX platform (the axon TPU plugin ignores "
                         "JAX_PLATFORMS; this sets it programmatically)")
@@ -84,7 +87,8 @@ def main(argv=None):
         ops = tuple(o for o in args.warmup_ops.split(",") if o)
         dts = tuple(None if d in ("float32", "") else d
                     for d in args.warmup_dtypes.split(","))
-        engine.warmup(args.warmup_resolution, ops=ops, dtypes=dts)
+        engine.warmup(args.warmup_resolution, ops=ops, dtypes=dts,
+                      uint8_inputs=args.warmup_uint8_inputs)
         print(f"[serve] warmed up {ops} at {args.warmup_resolution}px "
               f"across batch buckets up to {args.max_batch}")
     engine.start()

@@ -61,8 +61,16 @@ class InferenceEngine:
         self._thread: threading.Thread | None = None
 
     # -- device functions -------------------------------------------------
-    def _fn(self, op: str, out_dtype: str | None):
+    def _fn(self, op: str, out_dtype: str | None, in_uint8: bool):
         model = self.model
+        compute = self.model.config.compute_dtype
+
+        def prep(x):
+            # uint8 request payloads upload half the bytes of bf16 (and 1/4
+            # of fp32); the [0,1] scaling happens on device.
+            if in_uint8:
+                return x.astype(compute) * jnp.asarray(1.0 / 255.0, compute)
+            return x
 
         def finish(y):
             # On-device output encoding: the device->host fetch (PCIe, or the
@@ -76,28 +84,29 @@ class InferenceEngine:
 
         if op == "encode":
             def f(params, x):
-                mu, _ = model.apply({"params": params}, x,
+                mu, _ = model.apply({"params": params}, prep(x),
                                     method=lambda m, x: m.encode(x))
                 return (mu.astype(jnp.float16) if out_dtype == "float16"
                         else mu.astype(jnp.float32))
         elif op == "decode":
             def f(params, z):
-                logits = model.apply({"params": params}, z,
+                logits = model.apply({"params": params}, prep(z),
                                      method=lambda m, z: m.decode(z))
                 return finish(jax.nn.sigmoid(logits.astype(jnp.float32)))
         elif op == "reconstruct":
             def f(params, x):
-                recon, _, _ = model.apply({"params": params}, x, sample=False)
+                recon, _, _ = model.apply({"params": params}, prep(x),
+                                          sample=False)
                 return finish(jax.nn.sigmoid(recon.astype(jnp.float32)))
         else:
             raise ValueError(op)
         return f
 
-    def _compiled_for(self, op: str, shape: tuple,
-                      out_dtype: str | None) -> Any:
-        key = (op, out_dtype) + shape
+    def _compiled_for(self, op: str, shape: tuple, out_dtype: str | None,
+                      in_uint8: bool) -> Any:
+        key = (op, out_dtype, in_uint8) + shape
         if key not in self._compiled:
-            self._compiled[key] = jax.jit(self._fn(op, out_dtype))
+            self._compiled[key] = jax.jit(self._fn(op, out_dtype, in_uint8))
         return self._compiled[key]
 
     def run_async(self, op: str, arr: np.ndarray,
@@ -111,8 +120,11 @@ class InferenceEngine:
         if bb != b:
             pad = np.zeros((bb - b,) + arr.shape[1:], arr.dtype)
             arr = np.concatenate([arr, pad], axis=0)
-        x = jnp.asarray(arr, dtype=self.model.config.compute_dtype)
-        return self._compiled_for(op, x.shape, out_dtype)(self.params, x)
+        in_uint8 = arr.dtype == np.uint8
+        x = (jnp.asarray(arr) if in_uint8
+             else jnp.asarray(arr, dtype=self.model.config.compute_dtype))
+        return self._compiled_for(op, x.shape, out_dtype, in_uint8)(
+            self.params, x)
 
     def run(self, op: str, arr: np.ndarray,
             out_dtype: str | None = None) -> np.ndarray:
@@ -188,6 +200,7 @@ class InferenceEngine:
                     break
                 if (nxt[0] == (op, out_dtype)
                         and nxt[1].shape[1:] == arr0.shape[1:]
+                        and nxt[1].dtype == arr0.dtype
                         and total + nxt[1].shape[0] <= self.max_batch):
                     group.append(nxt)
                     total += nxt[1].shape[0]
@@ -223,7 +236,7 @@ class InferenceEngine:
 
     def warmup(self, resolution: int, ops: tuple = ("encode", "decode",
                                                      "reconstruct"),
-               dtypes: tuple = (None,)):
+               dtypes: tuple = (None,), uint8_inputs: bool = False):
         """Pre-compile the full power-of-two batch-bucket ladder for each op
         so steady-state traffic never hits an XLA compile. Without this, the
         first grouped batch of each size stalls the dispatcher for the
@@ -241,6 +254,8 @@ class InferenceEngine:
                 if op == "decode":
                     arr = np.zeros((bb, resolution // f, resolution // f,
                                     cfg.latent_dim), np.float32)
+                elif uint8_inputs:
+                    arr = np.zeros((bb, resolution, resolution, 3), np.uint8)
                 else:
                     arr = np.zeros((bb, resolution, resolution, 3),
                                    np.float32)
@@ -301,7 +316,9 @@ def make_http_server(engine: InferenceEngine, host: str = "127.0.0.1",
                     raise ValueError(f"bad dtype {want!r}")
                 if op == "encode" and want == "uint8":
                     raise ValueError("encode supports dtype=float16 only")
-                out = engine.submit(op, np.asarray(arr, np.float32), want)
+                if arr.dtype != np.uint8:  # uint8 uploads stay uint8 (H2D/4)
+                    arr = np.asarray(arr, np.float32)
+                out = engine.submit(op, arr, want)
                 buf = io.BytesIO()
                 np.save(buf, out)
                 self._send(200, buf.getvalue(), "application/octet-stream")

@@ -125,3 +125,13 @@ def test_submit_oversized_request_chunks(engine):
         assert out.shape[0] == 9
     finally:
         engine.stop()
+
+
+def test_uint8_request_payload_matches_float(engine):
+    # uint8 inputs are cast+scaled on device; result must match the float
+    # path on the same pixels.
+    xi = np.random.randint(0, 256, (2, 16, 16, 3), dtype=np.uint8)
+    xf = xi.astype(np.float32) / 255.0
+    r8 = engine.run("reconstruct", xi)
+    rf = engine.run("reconstruct", xf)
+    np.testing.assert_allclose(r8, rf, rtol=1e-3, atol=1e-3)
