@@ -51,7 +51,8 @@ def main(argv=None):
     from ..config import get_config
     from ..models import DiT, DiTConfig, TransVAE, init_params
     from ..training import LatentStats, generate_images
-    from ..training.checkpoint import restore_checkpoint, restore_params
+    from ..training.checkpoint import (restore_checkpoint,
+                                       restore_model_params)
     from ..utils.image import save_grid, save_image
 
     with open(os.path.join(args.checkpoint, "dit_config.json")) as f:
@@ -74,9 +75,7 @@ def main(argv=None):
     vae = TransVAE(vcfg)
     vae_ckpt = args.vae_checkpoint or side.get("vae_checkpoint")
     if vae_ckpt:
-        vae_params = restore_params(vae_ckpt)
-        if isinstance(vae_params, dict) and "model" in vae_params:
-            vae_params = vae_params["model"]
+        vae_params = restore_model_params(vae_ckpt)
     else:
         print("WARNING: no tokenizer checkpoint recorded; random decoder")
         vae_params = init_params(vae, jax.random.PRNGKey(0),

@@ -68,13 +68,11 @@ def main(argv=None):
     from ..serving import InferenceEngine, make_http_server
 
     if args.checkpoint:
-        from ..training.checkpoint import load_config, restore_params
+        from ..training.checkpoint import load_config, restore_model_params
 
         cfg = load_config(args.checkpoint)
         model = TransVAE(cfg)
-        params = restore_params(args.checkpoint)
-        if isinstance(params, dict) and "model" in params:
-            params = params["model"]
+        params = restore_model_params(args.checkpoint)
     else:
         cfg = get_config(args.variant, args.compression_ratio, args.latent_dim)
         model = TransVAE(cfg)

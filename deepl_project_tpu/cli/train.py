@@ -11,7 +11,7 @@ from __future__ import annotations
 import argparse
 
 from ..config import get_config
-from ..data import batch_iterator, make_dataset  # noqa: F401 (batch_iterator is public API)
+from ..data import make_dataset
 from ..data.pipeline import input_pipeline
 from ..losses import LossWeights
 from ..training.trainer import Trainer, TrainerConfig

@@ -77,7 +77,7 @@ def main(argv=None):
                             init_train_state, make_dit_train_step,
                             make_optimizer, make_sampler, save_checkpoint)
     from ..training.checkpoint import (latest_step, restore_checkpoint,
-                                       restore_params)
+                                       restore_model_params)
 
     rng = jax.random.PRNGKey(args.seed)
 
@@ -85,9 +85,7 @@ def main(argv=None):
     vcfg = get_config(args.vae_variant, args.vae_compression)
     vae = TransVAE(vcfg)
     if args.vae_checkpoint:
-        vae_params = restore_params(args.vae_checkpoint)
-        if isinstance(vae_params, dict) and "model" in vae_params:
-            vae_params = vae_params["model"]
+        vae_params = restore_model_params(args.vae_checkpoint)
     else:
         print("WARNING: no --vae_checkpoint; random tokenizer (smoke only)")
         from ..models import init_params
@@ -106,16 +104,22 @@ def main(argv=None):
         dcfg = dcfg.replace(use_rmsnorm=False, use_swiglu=False, use_rope=False)
     dit = DiT(dcfg)
     # Sidecar config so cli/sample_dit can rebuild the exact model later.
+    # On --resume an existing sidecar is kept: rewriting it from the current
+    # args would clobber recorded facts (e.g. vae_checkpoint) when the resume
+    # invocation omits flags it doesn't need.
     import dataclasses as _dc
     import json as _json
     import os as _os
     _os.makedirs(args.output_dir, exist_ok=True)
-    with open(_os.path.join(args.output_dir, "dit_config.json"), "w") as f:
-        _json.dump({"dit": _dc.asdict(dcfg),
-                    "vae_variant": args.vae_variant,
-                    "vae_compression": args.vae_compression,
-                    "vae_checkpoint": args.vae_checkpoint,
-                    "resolution": args.resolution, "grid": grid}, f, indent=2)
+    _sidecar = _os.path.join(args.output_dir, "dit_config.json")
+    if not (args.resume and _os.path.exists(_sidecar)):
+        with open(_sidecar, "w") as f:
+            _json.dump({"dit": _dc.asdict(dcfg),
+                        "vae_variant": args.vae_variant,
+                        "vae_compression": args.vae_compression,
+                        "vae_checkpoint": args.vae_checkpoint,
+                        "resolution": args.resolution, "grid": grid},
+                       f, indent=2)
     dit_params = init_dit_params(dit, jax.random.fold_in(rng, 1), grid=grid)
     n_params = sum(int(np.prod(p.shape))
                    for p in jax.tree_util.tree_leaves(dit_params))

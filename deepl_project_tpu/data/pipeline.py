@@ -59,6 +59,9 @@ def prefetch_to_device(batch_iter: Iterator[np.ndarray], size: int = 2,
     _END = object()
 
     def producer():
+        # Exceptions must surface in the consumer — swallowing them would
+        # make a corrupt file / dead data source look like clean end-of-data
+        # and a long run would "complete" early with exit code 0.
         try:
             for batch in batch_iter:
                 if sharding is not None:
@@ -66,8 +69,9 @@ def prefetch_to_device(batch_iter: Iterator[np.ndarray], size: int = 2,
                 else:
                     arr = jax.device_put(batch)
                 q.put(arr)
-        finally:
             q.put(_END)
+        except BaseException as e:  # noqa: BLE001 — re-raised consumer-side
+            q.put(("__pipeline_error__", e))
 
     thread = threading.Thread(target=producer, daemon=True)
     thread.start()
@@ -75,6 +79,8 @@ def prefetch_to_device(batch_iter: Iterator[np.ndarray], size: int = 2,
         item = q.get()
         if item is _END:
             return
+        if isinstance(item, tuple) and len(item) == 2                 and item[0] == "__pipeline_error__":
+            raise item[1]
         yield item
 
 

@@ -179,13 +179,31 @@ class InferenceEngine:
             self._fetch_q.put(None)
             self._fetch_thread.join(timeout=5)
             self._fetch_thread = None
+        # Fail any requests still queued (incl. ones enqueued during the
+        # shutdown race) — otherwise their submit() callers block forever.
+        # (A carried request inside the dispatcher loop dies with the thread;
+        # its waiter is covered by the queue drain below only if re-queued —
+        # the dispatcher exits between groups, so nothing is carried then.)
+        while True:
+            try:
+                _, _, ev, slot = self._queue.get_nowait()
+            except queue.Empty:
+                break
+            slot["error"] = "engine stopped"
+            ev.set()
 
     def _dispatch_loop(self):
+        carried = None  # incompatible request held for the NEXT round —
+        # re-queueing at the tail would let a sustained stream of compatible
+        # requests starve it indefinitely.
         while not self._stop.is_set():
-            try:
-                first = self._queue.get(timeout=0.1)
-            except queue.Empty:
-                continue
+            if carried is not None:
+                first, carried = carried, None
+            else:
+                try:
+                    first = self._queue.get(timeout=0.1)
+                except queue.Empty:
+                    continue
             group = [first]
             (op, out_dtype), arr0 = first[0], first[1]
             deadline = time.monotonic() + self.batch_window_s
@@ -205,7 +223,7 @@ class InferenceEngine:
                     group.append(nxt)
                     total += nxt[1].shape[0]
                 else:
-                    self._queue.put(nxt)  # incompatible: next round
+                    carried = nxt  # heads the next group
                     break
             try:
                 batch = np.concatenate([g[1] for g in group], axis=0)
@@ -244,6 +262,8 @@ class InferenceEngine:
         collapse in a cold load test."""
         cfg = self.model.config
         f = cfg.compression_ratio
+        if None not in dtypes:  # default-encoding traffic must be warm too
+            dtypes = (None,) + tuple(dtypes)
         b = 1
         buckets = []
         while b <= self.max_batch:
@@ -260,6 +280,8 @@ class InferenceEngine:
                     arr = np.zeros((bb, resolution, resolution, 3),
                                    np.float32)
                 for dt in dtypes:
+                    if op == "encode" and dt == "uint8":
+                        continue  # handler rejects this combination
                     self.run(op, arr, dt)
 
     def stats(self) -> dict:
@@ -267,7 +289,7 @@ class InferenceEngine:
             "device": str(jax.devices()[0]),
             "variant": self.model.config.variant,
             "compiled_programs": sorted(
-                "/".join(map(str, k)) for k in self._compiled),
+                "/".join(map(str, k)) for k in list(self._compiled)),
             "max_batch": self.max_batch,
         }
 

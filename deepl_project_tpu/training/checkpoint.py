@@ -86,3 +86,13 @@ def restore_params(directory: str, step: int | None = None):
     state, _ = restore_checkpoint(directory, step=step)
     params = state["params"] if isinstance(state, dict) and "params" in state else state
     return params
+
+
+def restore_model_params(directory: str, step: int | None = None):
+    """Like :func:`restore_params` but also unwraps the trainer's
+    {'model': ..., 'vf_proj': ...} split — the params tree a bare
+    ``model.apply`` expects."""
+    params = restore_params(directory, step=step)
+    if isinstance(params, dict) and "model" in params:
+        params = params["model"]
+    return params

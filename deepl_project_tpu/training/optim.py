@@ -50,10 +50,19 @@ def make_optimizer(
         # multiply_by_parameter_scale=False keeps the passed learning rate's
         # AdamW-like meaning (relative step sizes would silently repurpose
         # lr=1e-4); momentum=None = no first moment (the memory win).
+        if weight_decay:
+            # optax.adafactor's weight_decay_rate is NOT lr-scaled (it decays
+            # params by the raw rateper step) — passing AdamW-style wd through
+            # would over-decay by ~1/lr. The recipe uses wd=0 (ref:
+            # train.py:685); make a different intent explicit.
+            raise ValueError(
+                "weight_decay with optimizer='adafactor' is not supported: "
+                "adafactor's decay is not scaled by the learning rate; use "
+                "adamw, or extend make_optimizer with an explicit "
+                "adafactor_decay_rate argument")
         inner = optax.adafactor(sched, min_dim_size_to_factor=128,
                                 decay_rate=0.8, momentum=None,
-                                multiply_by_parameter_scale=False,
-                                weight_decay_rate=weight_decay or None)
+                                multiply_by_parameter_scale=False)
     elif optimizer == "adamw":
         inner = optax.adamw(sched, b1=b1, b2=b2, weight_decay=weight_decay,
                             mu_dtype=mu_dtype)

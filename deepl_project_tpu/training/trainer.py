@@ -218,6 +218,13 @@ class Trainer:
         if self.use_gan and getattr(self, "_disc_state", None) is not None:
             payload["disc_params"] = self._disc_state.params
             payload["disc_opt_state"] = self._disc_state.opt_state
+        # attention_impl is an execution policy, not architecture: persist
+        # the inference-tuned dispatch so serve/evaluate/from_pretrained don't
+        # inherit the training-only 'auto_train' band (measured slower for
+        # forward-only use; PERFORMANCE.md).
+        saved_cfg = self.model_config
+        if saved_cfg.attention_impl == "auto_train":
+            saved_cfg = saved_cfg.replace(attention_impl="auto")
         save_checkpoint(ckpt_dir, int(state.step), payload,
-                        epoch=epoch, config=self.model_config)
+                        epoch=epoch, config=saved_cfg)
         print(f"[trainer] saved checkpoint at step {int(state.step)}")

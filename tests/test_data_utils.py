@@ -136,3 +136,18 @@ def test_coco_dataset_layout(tmp_path):
     sh1 = list(coco_dataset(str(tmp_path), resolution=16, shard_index=1,
                             num_shards=2))
     assert len(sh0) + len(sh1) == 4
+
+
+def test_prefetch_propagates_source_errors():
+    # A dying data source must crash the consumer, not look like a clean
+    # end-of-data (which would silently truncate a training run).
+    from deepl_project_tpu.data.pipeline import prefetch_to_device
+
+    def bad_source():
+        yield np.zeros((1, 4, 4, 3), np.float32)
+        raise RuntimeError("corrupt record")
+
+    it = prefetch_to_device(bad_source())
+    next(it)
+    with pytest.raises(RuntimeError, match="corrupt record"):
+        next(it)

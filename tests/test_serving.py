@@ -135,3 +135,11 @@ def test_uint8_request_payload_matches_float(engine):
     r8 = engine.run("reconstruct", xi)
     rf = engine.run("reconstruct", xf)
     np.testing.assert_allclose(r8, rf, rtol=1e-3, atol=1e-3)
+
+
+def test_warmup_covers_default_encoding(engine):
+    # Warming uint8 must also warm the default (None) encoding — otherwise
+    # the first plain request cold-compiles mid-traffic.
+    engine.warmup(16, ops=("reconstruct",), dtypes=("uint8",))
+    outs = {k[1] for k in engine._compiled if k[0] == "reconstruct"}
+    assert None in outs and "uint8" in outs

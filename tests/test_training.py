@@ -265,3 +265,36 @@ def test_optimizer_adafactor_state_is_factored():
     new = optax.apply_updates(params, updates)
     assert bool(jnp.all(jnp.isfinite(new["w"])))
     assert float(jnp.max(jnp.abs(new["w"] - params["w"]))) > 0
+
+
+def test_adafactor_rejects_adamw_weight_decay():
+    # optax.adafactor's decay is not lr-scaled; passing AdamW-style wd through
+    # would over-decay ~1/lr x. Must be an explicit error, not silent.
+    import pytest as _pytest
+
+    from deepl_project_tpu.training import make_optimizer
+
+    with _pytest.raises(ValueError, match="adafactor"):
+        make_optimizer(learning_rate=1e-4, weight_decay=0.01,
+                       optimizer="adafactor")
+
+
+def test_trainer_saves_inference_dispatch(tmp_path):
+    # 'auto_train' is a training-only execution policy; the checkpoint config
+    # must record the inference dispatch so serve/evaluate don't inherit it.
+    from deepl_project_tpu import get_config
+    from deepl_project_tpu.training.checkpoint import load_config
+    from deepl_project_tpu.training.trainer import Trainer, TrainerConfig
+
+    mcfg = get_config("tiny_f16d32", dtype="float32", attention_impl="auto_train")
+    mcfg = mcfg.replace(depths=(1, 1, 1), base_dims=(16, 16, 32), latent_dim=4,
+                        head_dim=16)
+    tcfg = TrainerConfig(batch_size=2, resolution=16, use_lpips=False,
+                         weights=LossWeights(l1=1.0, lpips=0.0, kl=0.0,
+                                             vf=0.0, gan=0.0),
+                         output_dir=str(tmp_path))
+    tr = Trainer(mcfg, tcfg)
+    state = tr.create_state(jax.random.PRNGKey(0))
+    tr.save(state, epoch=0)
+    saved = load_config(str(tmp_path / "checkpoints"))
+    assert saved.attention_impl == "auto"
