@@ -26,11 +26,14 @@ from .rope import apply_rope2d
 # multi-GB allocation; the query-chunked path is measured speed-equal on v5e
 # at N=4096 while bounding memory to O(B*h*chunk*N).
 _XLA_FULL_SOFTMAX_MAX_TOKENS = 2048
-# Middle band where the Pallas kernel beats XLA's fused softmax-attention on
-# v5e at production batch (b=32, h=12, d=64, N=1024: 4.51 vs 6.50 ms — the
-# stage-3 shape of every f16 model at 256px). XLA wins again at N=4096
+# Middle band where a Pallas kernel beats XLA's fused softmax-attention on
+# v5e at production batch (the stage-3 shape of every f16 model at 256px:
+# b=32, h=12, d=64, N=1024). Within the band, N<=1024 uses the whole-head
+# single-block kernel (3.20 ms — scores fit VMEM), larger N the blockwise
+# flash kernel (4.51 ms at N=1024; XLA 5.91). XLA wins again at N=4096
 # (12.4 vs 16.4 ms) before losing for good at N>=8192.
 _PALLAS_MID_BAND = (1024, 2048)
+_SMALL_KERNEL_MAX_TOKENS = 1024  # fp32 NxN scores must fit VMEM
 # Beyond this, even chunked XLA loses to the Pallas flash kernel (measured
 # 2.4x at N=16384 on v5e).
 _PALLAS_MIN_TOKENS = 8192
@@ -106,13 +109,21 @@ def core_attention(q, k, v, scale, impl: str = "auto") -> jax.Array:
         # this N (measured: large@256 train 767 -> 945 ms/step with mid-band
         # in 'auto_train'; inference 44.9 -> 46.4 img/s with it in 'auto').
         if impl == "auto" and pallas_ok and lo <= n <= hi:
-            impl = "pallas"
+            impl = ("pallas_small" if n <= _SMALL_KERNEL_MAX_TOKENS
+                    else "pallas")
         elif n <= _XLA_FULL_SOFTMAX_MAX_TOKENS:
             impl = "xla"
         elif pallas_ok and n >= min_pallas:
             impl = "pallas"
         else:
             impl = "xla_chunked"
+    if impl == "pallas_small":
+        try:
+            from .pallas.small_attention import small_attention
+
+            return small_attention(q, k, v, scale)
+        except Exception:
+            impl = "xla"
     if impl == "pallas":
         try:
             from .pallas.flash_attention import flash_attention

@@ -74,6 +74,20 @@ def main():
         e = max(rel_err(a, b2) for a, b2 in zip(g1, g2))
         check(f"flash bwd N={n}", e < 2e-2, f"rel_err={e:.2e}")
 
+    # 2b. Whole-head small-attention kernel vs XLA.
+    from deepl_project_tpu.ops.pallas.small_attention import small_attention
+
+    for b, n, h in [(4, 256, 8), (2, 1024, 12)]:
+        d = 64
+        ks = jax.random.split(jax.random.fold_in(rng, 7 * n), 3)
+        q, k, v = (jax.random.normal(key, (b, n, h, d), jnp.bfloat16)
+                   for key in ks)
+        scale = d ** -0.5
+        ref = jax.jit(lambda q, k, v: xla_attention(q, k, v, scale))(q, k, v)
+        out = jax.jit(lambda q, k, v: small_attention(q, k, v, scale))(q, k, v)
+        e = rel_err(out, ref)
+        check(f"small-attn N={n}", e < 2e-2, f"rel_err={e:.2e}")
+
     # 3. Dispatch bands: auto / auto_train vs explicit XLA on TPU.
     for impl in ("auto", "auto_train"):
         for n, h in [(1024, 12), (4096, 6)]:

@@ -85,3 +85,35 @@ def test_fused_group_norm_silu_matches_reference(rng):
                                    rtol=1e-4, atol=1e-5)
     finally:
         fnorm.pl.pallas_call = orig
+
+
+def test_small_attention_matches_xla_interpret(rng):
+    # Interpreter mode runs the real kernel logic on CPU.
+    from deepl_project_tpu.ops.attention import xla_attention
+    from deepl_project_tpu.ops.pallas.small_attention import small_attention
+
+    b, n, h, d = 2, 64, 3, 16
+    q, k, v = (jax.random.normal(key, (b, n, h, d))
+               for key in jax.random.split(rng, 3))
+    scale = d ** -0.5
+    ref = xla_attention(q, k, v, scale)
+    out = small_attention(q, k, v, scale, True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-4, atol=2e-5)
+
+
+def test_small_attention_backward_matches_xla(rng):
+    from deepl_project_tpu.ops.attention import xla_attention
+    from deepl_project_tpu.ops.pallas.small_attention import small_attention
+
+    b, n, h, d = 1, 32, 2, 16
+    q, k, v = (jax.random.normal(key, (b, n, h, d))
+               for key in jax.random.split(rng, 3))
+    scale = d ** -0.5
+    g1 = jax.grad(lambda q, k, v: jnp.sum(
+        small_attention(q, k, v, scale, True) ** 2), argnums=(0, 1, 2))(q, k, v)
+    g2 = jax.grad(lambda q, k, v: jnp.sum(
+        xla_attention(q, k, v, scale) ** 2), argnums=(0, 1, 2))(q, k, v)
+    for a, b2 in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b2),
+                                   rtol=1e-3, atol=1e-4)
