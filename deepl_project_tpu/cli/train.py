@@ -72,6 +72,8 @@ def build_parser() -> argparse.ArgumentParser:
     # Infra
     p.add_argument("--output_dir", default="outputs")
     p.add_argument("--save_every_epochs", type=int, default=5)
+    p.add_argument("--save_every_steps", type=int, default=0,
+                   help="also checkpoint every N steps (0 = epochs only)")
     p.add_argument("--log_every", type=int, default=100)
     p.add_argument("--mesh_model", type=int, default=1,
                    help="model-parallel axis size (tensor sharding for huge/giant)")
@@ -128,7 +130,8 @@ def main(argv=None):
         freeze_encoder=args.freeze_encoder, weights=weights,
         use_lpips=args.lpips_weight > 0, resolution=args.resolution,
         seed=args.seed, log_every=args.log_every,
-        save_every_epochs=args.save_every_epochs, output_dir=args.output_dir,
+        save_every_epochs=args.save_every_epochs,
+        save_every_steps=args.save_every_steps, output_dir=args.output_dir,
         mesh_model=args.mesh_model, param_sharding=args.param_sharding,
         mu_dtype=args.mu_dtype, optimizer=args.optimizer)
 

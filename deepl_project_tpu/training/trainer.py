@@ -52,6 +52,9 @@ class TrainerConfig:
     seed: int = 42
     log_every: int = 100
     save_every_epochs: int = 5
+    # Also checkpoint every N optimizer steps (0 = epoch boundaries only) —
+    # long epochs / preemptible capacity shouldn't risk a whole epoch of work.
+    save_every_steps: int = 0
     output_dir: str = "outputs"
     mesh_model: int = 1
     param_sharding: str = "replicate"  # 'replicate' | 'fsdp' | 'tensor'
@@ -197,6 +200,9 @@ class Trainer:
                 state, metrics = self.step_fn(state, batch, rng)
                 timer.tick(self.cfg.batch_size)
                 step += 1
+                if (self.cfg.save_every_steps
+                        and step % self.cfg.save_every_steps == 0):
+                    self.save(state, epoch)
                 if step % self.cfg.log_every == 0:
                     host = {k: float(v) for k, v in metrics.items()}
                     host["images_per_sec"] = timer.images_per_sec

@@ -298,3 +298,26 @@ def test_trainer_saves_inference_dispatch(tmp_path):
     tr.save(state, epoch=0)
     saved = load_config(str(tmp_path / "checkpoints"))
     assert saved.attention_impl == "auto"
+
+
+def test_trainer_save_every_steps(tmp_path):
+    from deepl_project_tpu import get_config
+    from deepl_project_tpu.data import batch_iterator, make_dataset
+    from deepl_project_tpu.training.checkpoint import latest_step
+    from deepl_project_tpu.training.trainer import Trainer, TrainerConfig
+
+    mcfg = get_config("tiny_f16d32", dtype="float32", attention_impl="xla")
+    mcfg = mcfg.replace(depths=(1, 1, 1), base_dims=(16, 16, 32), latent_dim=4,
+                        head_dim=16)
+    tcfg = TrainerConfig(batch_size=2, resolution=16, use_lpips=False,
+                         num_epochs=1, steps_per_epoch=5, save_every_steps=2,
+                         save_every_epochs=99, log_every=100,
+                         weights=LossWeights(l1=1.0, lpips=0.0, kl=0.0,
+                                             vf=0.0, gan=0.0),
+                         output_dir=str(tmp_path))
+    tr = Trainer(mcfg, tcfg)
+    data = batch_iterator(make_dataset("synthetic", resolution=16,
+                                       num_samples=64), 2)
+    tr.fit(data)
+    # Mid-epoch saves at steps 2 and 4, plus the end-of-training save.
+    assert latest_step(str(tmp_path / "checkpoints")) == 5
