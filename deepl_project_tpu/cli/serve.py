@@ -51,6 +51,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--platform", default=None, choices=["cpu", "tpu"],
                    help="force a JAX platform (the axon TPU plugin ignores "
                         "JAX_PLATFORMS; this sets it programmatically)")
+    p.add_argument("--param_dtype", default=None, choices=["bfloat16"],
+                   help="serve with bf16 params — required to fit the huge "
+                        "(2.49B) / giant (4.84B) variants in one 16 GB chip "
+                        "(measured 16.07 / 8.02 img/s @256; PERFORMANCE.md)")
     return p
 
 
@@ -71,10 +75,23 @@ def main(argv=None):
         from ..training.checkpoint import load_config, restore_model_params
 
         cfg = load_config(args.checkpoint)
+        if args.param_dtype:
+            cfg = cfg.replace(param_dtype=args.param_dtype)
         model = TransVAE(cfg)
         params = restore_model_params(args.checkpoint)
+        if args.param_dtype:
+            import jax.numpy as jnp
+            import numpy as _np
+
+            target = jnp.dtype(args.param_dtype)
+            params = jax.tree_util.tree_map(
+                lambda a: a.astype(target)
+                if _np.issubdtype(_np.asarray(a).dtype, _np.floating) else a,
+                params)
     else:
         cfg = get_config(args.variant, args.compression_ratio, args.latent_dim)
+        if args.param_dtype:
+            cfg = cfg.replace(param_dtype=args.param_dtype)
         model = TransVAE(cfg)
         params = init_params(model, jax.random.PRNGKey(0), image_size=64)
         print("[serve] WARNING: no --checkpoint; serving random weights")
