@@ -81,7 +81,16 @@ def main(argv=None):
         vae_params = init_params(vae, jax.random.PRNGKey(0),
                                  image_size=side["resolution"], batch=1)
 
-    if args.classes:
+    cfg_scale = args.cfg_scale
+    if side.get("unconditional"):
+        # The model was trained with class_dropout=1.0 (no real labels): the
+        # only trained embedding is the null token, and CFG>1 would
+        # extrapolate between two unconditional branches.
+        print("NOTE: unconditional checkpoint — ignoring --classes, "
+              "forcing cfg_scale=1.0")
+        labels = jnp.full((args.num_samples,), dcfg.num_classes, jnp.int32)
+        cfg_scale = 1.0
+    elif args.classes:
         ids = [int(c) for c in args.classes.split(",")]
         labels = jnp.asarray([ids[i % len(ids)]
                               for i in range(args.num_samples)])
@@ -89,11 +98,11 @@ def main(argv=None):
         labels = jnp.arange(args.num_samples) % dcfg.num_classes
 
     print(f"sampling {args.num_samples} images (step {meta['step']}, {src} "
-          f"params, cfg {args.cfg_scale}, {args.sample_steps} steps)")
+          f"params, cfg {cfg_scale}, {args.sample_steps} steps)")
     imgs = generate_images(vae, vae_params, dit, dit_params, stats,
                            jax.random.PRNGKey(args.seed), labels,
                            grid=side["grid"], num_steps=args.sample_steps,
-                           cfg_scale=args.cfg_scale)
+                           cfg_scale=cfg_scale)
     imgs = np.asarray(imgs)
     os.makedirs(args.output_dir, exist_ok=True)
     save_grid(imgs, os.path.join(args.output_dir, "grid.png"))

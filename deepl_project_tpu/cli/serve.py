@@ -51,6 +51,14 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--platform", default=None, choices=["cpu", "tpu"],
                    help="force a JAX platform (the axon TPU plugin ignores "
                         "JAX_PLATFORMS; this sets it programmatically)")
+    p.add_argument("--auth_token", default=None,
+                   help="require 'Authorization: Bearer <token>' on POSTs "
+                        "(/healthz stays open); also read from "
+                        "DEEPL_SERVE_TOKEN")
+    p.add_argument("--max_request_mb", type=int, default=64,
+                   help="reject request bodies larger than this (HTTP 413)")
+    p.add_argument("--max_queue", type=int, default=256,
+                   help="bounded request queue; excess requests get HTTP 503")
     p.add_argument("--param_dtype", default=None, choices=["bfloat16"],
                    help="serve with bf16 params — required to fit the huge "
                         "(2.49B) / giant (4.84B) variants in one 16 GB chip "
@@ -97,7 +105,8 @@ def main(argv=None):
         print("[serve] WARNING: no --checkpoint; serving random weights")
 
     engine = InferenceEngine(model, params, max_batch=args.max_batch,
-                             batch_window_ms=args.batch_window_ms)
+                             batch_window_ms=args.batch_window_ms,
+                             max_queue=args.max_queue)
     if args.warmup_resolution:
         ops = tuple(o for o in args.warmup_ops.split(",") if o)
         dts = tuple(None if d in ("float32", "") else d
@@ -107,9 +116,14 @@ def main(argv=None):
         print(f"[serve] warmed up {ops} at {args.warmup_resolution}px "
               f"across batch buckets up to {args.max_batch}")
     engine.start()
-    server = make_http_server(engine, args.host, args.port)
+    import os
+
+    token = args.auth_token or os.environ.get("DEEPL_SERVE_TOKEN") or None
+    server = make_http_server(engine, args.host, args.port, auth_token=token,
+                              max_request_bytes=args.max_request_mb << 20)
     print(f"[serve] {cfg.variant} on http://{args.host}:{args.port} "
-          f"(device {jax.devices()[0]})")
+          f"(device {jax.devices()[0]}, "
+          f"auth {'on' if token else 'off'})")
     try:
         server.serve_forever()
     except KeyboardInterrupt:

@@ -96,10 +96,32 @@ def main(argv=None):
         mu, _ = vae.apply({"params": vae_params}, images, method="encode")
         return mu.astype(jnp.float32)
 
+    # Labeled batches: (images [B,H,W,3], labels [B]); sources without class
+    # structure yield label -1. When no real labels exist, conditioning on
+    # random labels would train a sham class-conditional model (and CFG would
+    # extrapolate between two unconditional branches) — train unconditional
+    # instead: class_dropout=1.0 routes every sample to the null token, and
+    # sampling forces cfg_scale=1.0.
+    raw_batches = batch_iterator(
+        make_dataset(args.data, args.resolution, with_labels=True),
+        args.batch_size)
+    first_batch = next(raw_batches)
+    has_labels = bool((first_batch[1] >= 0).any())
+    class_dropout = args.class_dropout if has_labels else 1.0
+    if not has_labels:
+        print("NOTE: dataset provides no class labels — training "
+              "unconditional (class_dropout=1.0, sampling cfg_scale=1.0)")
+
+    def batches(first, rest):
+        yield first
+        yield from rest
+
+    data = batches(first_batch, raw_batches)
+
     grid = args.resolution // vcfg.compression_ratio
     dcfg = get_dit_config(
         args.dit_variant, args.patch_size, in_channels=vcfg.latent_dim,
-        num_classes=args.num_classes, class_dropout=args.class_dropout)
+        num_classes=args.num_classes, class_dropout=class_dropout)
     if args.plain_dit:
         dcfg = dcfg.replace(use_rmsnorm=False, use_swiglu=False, use_rope=False)
     dit = DiT(dcfg)
@@ -118,7 +140,8 @@ def main(argv=None):
                         "vae_variant": args.vae_variant,
                         "vae_compression": args.vae_compression,
                         "vae_checkpoint": args.vae_checkpoint,
-                        "resolution": args.resolution, "grid": grid},
+                        "resolution": args.resolution, "grid": grid,
+                        "unconditional": not has_labels},
                        f, indent=2)
     dit_params = init_dit_params(dit, jax.random.fold_in(rng, 1), grid=grid)
     n_params = sum(int(np.prod(p.shape))
@@ -126,11 +149,8 @@ def main(argv=None):
     print(f"DiT-{args.dit_variant}/{args.patch_size}: {n_params/1e6:.1f}M "
           f"params on {grid}x{grid}x{vcfg.latent_dim} latents")
 
-    data = batch_iterator(make_dataset(args.data, args.resolution),
-                          args.batch_size)
-
     # Latent channel statistics from the first few batches.
-    lat0 = [np.asarray(encode(jnp.asarray(next(data))))
+    lat0 = [np.asarray(encode(jnp.asarray(next(data)[0])))
             for _ in range(args.stats_batches)]
     stats = LatentStats.from_latents(jnp.asarray(np.concatenate(lat0)))
     print(f"latent stats: mean|max|={float(jnp.max(jnp.abs(stats.mean))):.3f} "
@@ -162,16 +182,14 @@ def main(argv=None):
         return {"state": state, "latent_mean": stats.mean,
                 "latent_std": stats.std}
 
-    label_rng = np.random.default_rng(args.seed)
     t0, imgs_seen = time.time(), 0
     for i in range(start_step, args.total_steps):
-        images = jnp.asarray(next(data))
-        # Class-conditional when the dataset provides labels; synthetic and
-        # folder datasets without labels train class-free (random labels with
-        # full dropout would be cleaner; random labels keep the embedding
-        # exercised and CFG usable as "uncond vs uncond").
-        labels = jnp.asarray(label_rng.integers(0, args.num_classes,
-                                                images.shape[0]))
+        images_np, labels_np = next(data)
+        images = jnp.asarray(images_np)
+        # Unlabeled samples (-1) map to the trained null class at index
+        # num_classes — the same token CFG dropout uses.
+        labels = jnp.asarray(np.where(labels_np < 0, args.num_classes,
+                                      labels_np))
         z0 = stats.normalize(encode(images))
         state, metrics = step_fn(state, z0, labels, rng)
         imgs_seen += images.shape[0]
@@ -186,7 +204,7 @@ def main(argv=None):
         if args.sample_every and (i + 1) % args.sample_every == 0:
             _write_samples(args, vae, vae_params, dit,
                            state.ema_params if use_ema else state.params,
-                           stats, grid, i + 1)
+                           stats, grid, i + 1, has_labels=has_labels)
 
     if start_step < args.total_steps:
         save_checkpoint(args.output_dir, args.total_steps,
@@ -194,17 +212,23 @@ def main(argv=None):
     print(f"done; checkpoint at {args.output_dir}")
 
 
-def _write_samples(args, vae, vae_params, dit, dit_params, stats, grid, step):
+def _write_samples(args, vae, vae_params, dit, dit_params, stats, grid, step,
+                   has_labels: bool = True):
     import os
 
     from ..training import generate_images
     from ..utils.image import save_grid
 
     rng = jax.random.PRNGKey(step)
-    labels = jnp.arange(8) % args.num_classes
+    if has_labels:
+        labels = jnp.arange(8) % args.num_classes
+        cfg_scale = args.cfg_scale
+    else:  # unconditional model: null token, no guidance to extrapolate
+        labels = jnp.full((8,), args.num_classes, jnp.int32)
+        cfg_scale = 1.0
     imgs = generate_images(vae, vae_params, dit, dit_params, stats, rng,
                            labels, grid=grid, num_steps=args.sample_steps,
-                           cfg_scale=args.cfg_scale)
+                           cfg_scale=cfg_scale)
     os.makedirs(args.output_dir, exist_ok=True)
     path = os.path.join(args.output_dir, f"samples_{step:07d}.png")
     save_grid(np.asarray(imgs), path, nrow=4)

@@ -61,13 +61,23 @@ def synthetic_shapes_dataset(resolution: int = 256, num_samples: int = 1024,
         yield img.astype(np.float32)
 
 
+def folder_class_index(root: str) -> dict[str, int]:
+    """ImageFolder class mapping: sorted immediate subdirectories of root."""
+    classes = sorted(d for d in os.listdir(root)
+                     if os.path.isdir(os.path.join(root, d)))
+    return {c: i for i, c in enumerate(classes)}
+
+
 def image_folder_dataset(root: str, resolution: int = 256,
                          shuffle: bool = True, seed: int = 42,
                          shard_index: int | None = None,
                          num_shards: int | None = None,
-                         repeat: bool = False) -> Iterator[np.ndarray]:
-    """Recursive folder-of-images loader (ImageFolder semantics, labels unused
-    — the VAE is unsupervised; ref: train.py:132-175)."""
+                         repeat: bool = False,
+                         with_labels: bool = False) -> Iterator:
+    """Recursive folder-of-images loader (ImageFolder semantics; ref:
+    train.py:132-175). With ``with_labels`` each item is ``(image, label)``
+    where label is the index of the top-level class directory (-1 for images
+    not under one) — the torchvision ImageFolder contract."""
     files = []
     for dirpath, _, names in os.walk(root):
         for n in sorted(names):
@@ -76,6 +86,13 @@ def image_folder_dataset(root: str, resolution: int = 256,
     files.sort()
     if not files:
         raise FileNotFoundError(f"No images under {root}")
+    class_to_idx = folder_class_index(root) if with_labels else {}
+
+    def label_of(path: str) -> int:
+        rel = os.path.relpath(path, root)
+        head = rel.split(os.sep, 1)[0]
+        return class_to_idx.get(head, -1)
+
     if num_shards and num_shards > 1:
         idx = shard_index or 0
         files = files[idx::num_shards]
@@ -91,13 +108,14 @@ def image_folder_dataset(root: str, resolution: int = 256,
         for path in order:
             if native:
                 sample = native_loader.decode_file(path, resolution)
-                if sample is not None:
-                    yield sample
+            else:
+                try:
+                    sample = preprocess_file(path, resolution)
+                except Exception:
+                    sample = None  # skip unreadable files like a DataLoader
+            if sample is None:
                 continue
-            try:
-                yield preprocess_file(path, resolution)
-            except Exception:
-                continue  # skip unreadable files like a DataLoader would
+            yield (sample, label_of(path)) if with_labels else sample
         epoch += 1
         if not repeat:
             return
@@ -135,7 +153,8 @@ def hf_streaming_dataset(name: str = "evanarlian/imagenet_1k_resized_256",
                          split: str = "train", resolution: int = 256,
                          shuffle_buffer: int = 10_000, seed: int = 42,
                          shard_index: int | None = None,
-                         num_shards: int | None = None) -> Iterator[np.ndarray]:
+                         num_shards: int | None = None,
+                         with_labels: bool = False) -> Iterator:
     """HF streaming ImageNet with rank sharding + buffered shuffle
     (ref: train_2.py:184-188). Requires network access to the HF hub; callers
     should fall back to another source when offline."""
@@ -150,19 +169,34 @@ def hf_streaming_dataset(name: str = "evanarlian/imagenet_1k_resized_256",
         img = example.get("image") or example.get("img")
         if img is None:
             continue
-        yield preprocess_image(img, resolution)
+        out = preprocess_image(img, resolution)
+        yield (out, int(example.get("label", -1))) if with_labels else out
 
 
-def make_dataset(source: str, resolution: int = 256, **kw) -> Iterator[np.ndarray]:
+def _with_dummy_labels(it: Iterator[np.ndarray]) -> Iterator:
+    for sample in it:
+        yield sample, -1
+
+
+def make_dataset(source: str, resolution: int = 256,
+                 with_labels: bool = False, **kw) -> Iterator:
     """Dispatch by source string: 'synthetic', 'hf:<name>', or a local path
-    (COCO layout auto-detected)."""
+    (COCO layout auto-detected).
+
+    With ``with_labels`` every item is ``(image, label)``; sources without
+    class structure (synthetic, COCO) yield label -1, which callers treat as
+    'unlabeled' (e.g. DiT falls back to unconditional training)."""
     if source in ("synthetic", "shapes"):
         kw.pop("shard_index", None)
         kw.pop("num_shards", None)
         fn = synthetic_dataset if source == "synthetic" else synthetic_shapes_dataset
-        return fn(resolution, **kw)
+        it = fn(resolution, **kw)
+        return _with_dummy_labels(it) if with_labels else it
     if source.startswith("hf:"):
-        return hf_streaming_dataset(source[3:], resolution=resolution, **kw)
+        return hf_streaming_dataset(source[3:], resolution=resolution,
+                                    with_labels=with_labels, **kw)
     if os.path.isdir(os.path.join(source, "annotations")):
-        return coco_dataset(source, resolution=resolution, **kw)
-    return image_folder_dataset(source, resolution=resolution, **kw)
+        it = coco_dataset(source, resolution=resolution, **kw)
+        return _with_dummy_labels(it) if with_labels else it
+    return image_folder_dataset(source, resolution=resolution,
+                                with_labels=with_labels, **kw)

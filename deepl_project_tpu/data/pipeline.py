@@ -37,14 +37,22 @@ def batch_iterator(sample_iter: Iterator[np.ndarray], batch_size: int,
     else:
         mapped = sample_iter
 
-    buf: list[np.ndarray] = []
+    def assemble(items):
+        # (image, label) items batch to (images [B,H,W,C], labels [B]) — the
+        # labeled-dataset contract from datasets.make_dataset(with_labels=True).
+        if isinstance(items[0], tuple):
+            return (np.stack([s[0] for s in items]),
+                    np.asarray([s[1] for s in items], np.int32))
+        return np.stack(items)
+
+    buf: list = []
     for sample in mapped:
         buf.append(sample)
         if len(buf) == batch_size:
-            yield np.stack(buf)
+            yield assemble(buf)
             buf = []
     if buf and not drop_last:
-        yield np.stack(buf)
+        yield assemble(buf)
 
 
 def prefetch_to_device(batch_iter: Iterator[np.ndarray], size: int = 2,

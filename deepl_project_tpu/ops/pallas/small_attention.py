@@ -87,5 +87,13 @@ def _make_op(scale: float, interpret: bool):
 
 
 def small_attention(q, k, v, scale: float, interpret: bool = False):
-    """Attention for N <= 512: q/k/v [B, N, heads, head_dim] -> same shape."""
+    """Attention for N <= 1024: q/k/v [B, N, heads, head_dim] -> same shape.
+
+    Above _MAX_SMALL_N the fp32 NxN score block no longer fits VMEM; callers
+    get an explicit error instead of a runtime Mosaic failure.
+    """
+    if q.shape[1] > _MAX_SMALL_N:
+        raise ValueError(
+            f"small_attention supports N <= {_MAX_SMALL_N}; got N={q.shape[1]}"
+            " — use flash_attention (blockwise) for longer token axes")
     return _make_op(float(scale), bool(interpret))(q, k, v)

@@ -46,17 +46,23 @@ def _next_pow2(n: int, cap: int) -> int:
     return min(p, cap)
 
 
+class EngineOverloaded(RuntimeError):
+    """Raised by submit() when the bounded request queue is full."""
+
+
 class InferenceEngine:
     """Jit cache + dynamic batcher around one TransVAE model."""
 
     def __init__(self, model, params: Any, max_batch: int = 32,
-                 batch_window_ms: float = 3.0):
+                 batch_window_ms: float = 3.0, max_queue: int = 256):
         self.model = model
         self.params = params
         self.max_batch = max_batch
         self.batch_window_s = batch_window_ms / 1e3
         self._compiled: dict[tuple, Any] = {}
-        self._queue: queue.Queue = queue.Queue()
+        # Bounded: under overload, fail fast (HTTP 503) instead of growing an
+        # unbounded backlog whose tail latencies blow every deadline anyway.
+        self._queue: queue.Queue = queue.Queue(maxsize=max_queue)
         self._stop = threading.Event()
         self._thread: threading.Thread | None = None
 
@@ -151,7 +157,11 @@ class InferenceEngine:
                  for i in range(0, arr.shape[0], self.max_batch)], axis=0)
         ev = threading.Event()
         slot: dict = {}
-        self._queue.put(((op, out_dtype), arr, ev, slot))
+        try:
+            self._queue.put_nowait(((op, out_dtype), arr, ev, slot))
+        except queue.Full:
+            raise EngineOverloaded(
+                f"request queue full ({self._queue.maxsize})") from None
         ev.wait()
         if "error" in slot:
             raise RuntimeError(slot["error"])
@@ -181,9 +191,8 @@ class InferenceEngine:
             self._fetch_thread = None
         # Fail any requests still queued (incl. ones enqueued during the
         # shutdown race) — otherwise their submit() callers block forever.
-        # (A carried request inside the dispatcher loop dies with the thread;
-        # its waiter is covered by the queue drain below only if re-queued —
-        # the dispatcher exits between groups, so nothing is carried then.)
+        # A request carried between groups is failed by the dispatcher itself
+        # on loop exit (see _dispatch_loop's tail).
         while True:
             try:
                 _, _, ev, slot = self._queue.get_nowait()
@@ -233,6 +242,9 @@ class InferenceEngine:
                 for _, _, ev, slot in group:
                     slot["error"] = f"{type(e).__name__}: {e}"
                     ev.set()
+        if carried is not None:  # stop() raced a carried request: fail it
+            carried[3]["error"] = "engine stopped"
+            carried[2].set()
 
     def _fetch_loop(self):
         while True:
@@ -269,6 +281,10 @@ class InferenceEngine:
         while b <= self.max_batch:
             buckets.append(b)
             b *= 2
+        if buckets[-1] != self.max_batch:
+            # Non-power-of-two max_batch is itself a live bucket (_next_pow2
+            # caps there) — warm it too or the first full group compiles live.
+            buckets.append(self.max_batch)
         for op in ops:
             for bb in buckets:
                 if op == "decode":
@@ -295,8 +311,16 @@ class InferenceEngine:
 
 
 def make_http_server(engine: InferenceEngine, host: str = "127.0.0.1",
-                     port: int = 8471):
-    """Build (not start) a ThreadingHTTPServer bound to the engine."""
+                     port: int = 8471, auth_token: str | None = None,
+                     max_request_bytes: int = 64 << 20):
+    """Build (not start) a ThreadingHTTPServer bound to the engine.
+
+    ``auth_token``: when set, POST requests must carry
+    ``Authorization: Bearer <token>`` (``/healthz`` stays open for probes).
+    ``max_request_bytes``: bodies above this are rejected with 413 before
+    being read into memory.
+    """
+    import hmac
     from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
     class Handler(BaseHTTPRequestHandler):
@@ -309,6 +333,12 @@ def make_http_server(engine: InferenceEngine, host: str = "127.0.0.1",
             self.send_header("Content-Length", str(len(body)))
             self.end_headers()
             self.wfile.write(body)
+
+        def _authorized(self) -> bool:
+            if auth_token is None:
+                return True
+            got = self.headers.get("Authorization", "")
+            return hmac.compare_digest(got, f"Bearer {auth_token}")
 
         def do_GET(self):
             if self.path == "/healthz":
@@ -325,8 +355,15 @@ def make_http_server(engine: InferenceEngine, host: str = "127.0.0.1",
             if op not in ("encode", "decode", "reconstruct"):
                 self._send(404, b"unknown op", "text/plain")
                 return
+            if not self._authorized():
+                self._send(401, b"unauthorized", "text/plain")
+                return
             try:
                 n = int(self.headers.get("Content-Length", "0"))
+                if n > max_request_bytes:
+                    self._send(413, f"request body {n} bytes > limit "
+                               f"{max_request_bytes}".encode(), "text/plain")
+                    return
                 arr = np.load(io.BytesIO(self.rfile.read(n)),
                               allow_pickle=False)
                 # ?dtype=uint8|float16 encodes the result ON DEVICE so the
@@ -344,6 +381,8 @@ def make_http_server(engine: InferenceEngine, host: str = "127.0.0.1",
                 buf = io.BytesIO()
                 np.save(buf, out)
                 self._send(200, buf.getvalue(), "application/octet-stream")
+            except EngineOverloaded as e:
+                self._send(503, str(e).encode(), "text/plain")
             except Exception as e:  # noqa: BLE001
                 self._send(400, f"{type(e).__name__}: {e}".encode(),
                            "text/plain")

@@ -205,12 +205,15 @@ def generation_fid(vae_model, vae_params, dit_model, dit_params,
 
     real_feats, seen = [], 0
     for batch in real_batches:
+        batch = np.asarray(batch)
         real_feats.append(np.asarray(feature_fn(jnp.asarray(batch))))
-        seen += len(batch)
+        seen += batch.shape[0]
         if seen >= num_samples:
             break
-    return fid_from_features(np.concatenate(real_feats),
-                             np.concatenate(fake_feats))
+    # Trim both sides to exactly num_samples (the FID-10K protocol compares
+    # equal-sized sets; a ragged final batch would bias the estimate).
+    return fid_from_features(np.concatenate(real_feats)[:num_samples],
+                             np.concatenate(fake_feats)[:num_samples])
 
 
 def encode_to_latents(vae_model, vae_params, images: jax.Array,

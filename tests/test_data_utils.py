@@ -151,3 +151,37 @@ def test_prefetch_propagates_source_errors():
     next(it)
     with pytest.raises(RuntimeError, match="corrupt record"):
         next(it)
+
+
+def test_image_folder_labels(tmp_path):
+    from PIL import Image
+
+    for cls in ("cat", "dog"):
+        d = tmp_path / cls
+        d.mkdir()
+        for i in range(3):
+            Image.new("RGB", (8, 8), (i * 40, 0, 0)).save(d / f"{i}.png")
+    from deepl_project_tpu.data.datasets import (folder_class_index,
+                                                 image_folder_dataset)
+
+    assert folder_class_index(str(tmp_path)) == {"cat": 0, "dog": 1}
+    items = list(image_folder_dataset(str(tmp_path), resolution=8,
+                                      shuffle=False, with_labels=True))
+    assert len(items) == 6
+    labels = sorted(lab for _, lab in items)
+    assert labels == [0, 0, 0, 1, 1, 1]
+    img, lab = items[0]
+    assert img.shape == (8, 8, 3) and img.dtype == np.float32
+
+
+def test_batch_iterator_labeled_tuples():
+    from deepl_project_tpu.data import make_dataset
+
+    it = make_dataset("synthetic", resolution=8, num_samples=10,
+                      with_labels=True)
+    batches = list(batch_iterator(it, 4, drop_last=False))
+    imgs, labels = batches[0]
+    assert imgs.shape == (4, 8, 8, 3)
+    assert labels.shape == (4,) and labels.dtype == np.int32
+    assert (labels == -1).all()  # synthetic source is unlabeled
+    assert batches[-1][0].shape[0] == 2  # ragged tail kept

@@ -143,3 +143,112 @@ def test_warmup_covers_default_encoding(engine):
     engine.warmup(16, ops=("reconstruct",), dtypes=("uint8",))
     outs = {k[1] for k in engine._compiled if k[0] == "reconstruct"}
     assert None in outs and "uint8" in outs
+
+
+def test_auth_token_enforced(engine):
+    engine.start()
+    server = make_http_server(engine, "127.0.0.1", 0, auth_token="s3cret")
+    port = server.server_address[1]
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    try:
+        # healthz stays open for probes
+        with urllib.request.urlopen(
+                f"http://127.0.0.1:{port}/healthz", timeout=10) as r:
+            assert r.status == 200
+        x = np.random.rand(1, 16, 16, 3).astype(np.float32)
+        buf = io.BytesIO()
+        np.save(buf, x)
+        body = buf.getvalue()
+        # missing / wrong token → 401
+        for hdrs in ({}, {"Authorization": "Bearer wrong"}):
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{port}/reconstruct", data=body,
+                headers=hdrs)
+            with pytest.raises(urllib.error.HTTPError) as ei:
+                urllib.request.urlopen(req, timeout=10)
+            assert ei.value.code == 401
+        # correct token → 200
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/reconstruct", data=body,
+            headers={"Authorization": "Bearer s3cret"})
+        with urllib.request.urlopen(req, timeout=60) as r:
+            assert np.load(io.BytesIO(r.read())).shape == (1, 16, 16, 3)
+    finally:
+        server.shutdown()
+        engine.stop()
+
+
+def test_request_size_cap(engine):
+    engine.start()
+    server = make_http_server(engine, "127.0.0.1", 0,
+                              max_request_bytes=1024)
+    port = server.server_address[1]
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    try:
+        x = np.random.rand(1, 16, 16, 3).astype(np.float32)  # 3 KB > 1 KB cap
+        buf = io.BytesIO()
+        np.save(buf, x)
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/reconstruct", data=buf.getvalue())
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            urllib.request.urlopen(req, timeout=10)
+        assert ei.value.code == 413
+    finally:
+        server.shutdown()
+        engine.stop()
+
+
+def test_bounded_queue_overload():
+    from deepl_project_tpu.serving import EngineOverloaded
+
+    cfg = get_config("tiny", 16, 32).replace(
+        depths=(1, 1, 1), base_dims=(16, 16, 32), latent_dim=4, head_dim=16,
+        dtype="float32", attention_impl="xla")
+    model = TransVAE(cfg)
+    params = init_params(model, jax.random.PRNGKey(0), image_size=16)
+    eng = InferenceEngine(model, params, max_batch=8, max_queue=1)
+    eng._thread = object()  # pretend the dispatcher runs without draining
+    x = np.random.rand(1, 16, 16, 3).astype(np.float32)
+    eng._queue.put_nowait((("reconstruct", None), x, threading.Event(), {}))
+    with pytest.raises(EngineOverloaded):
+        eng.submit("reconstruct", x)
+    eng._thread = None
+
+
+def test_stop_fails_carried_request(engine):
+    # A request carried between dispatch groups must be failed on stop(),
+    # not leave its submitter blocked forever.
+    engine.start()
+    try:
+        x = np.random.rand(1, 16, 16, 3).astype(np.float32)
+        errs = []
+
+        def worker(op):
+            try:
+                engine.submit(op, x)
+            except RuntimeError as e:
+                errs.append(str(e))
+
+        # Two incompatible ops in quick succession: the second is carried.
+        t1 = threading.Thread(target=worker, args=("reconstruct",))
+        t2 = threading.Thread(target=worker, args=("encode",))
+        t1.start(); t2.start()
+    finally:
+        engine.stop()
+    t1.join(timeout=30)
+    t2.join(timeout=30)
+    assert not t1.is_alive() and not t2.is_alive()
+
+
+def test_warmup_non_pow2_max_batch():
+    cfg = get_config("tiny", 16, 32).replace(
+        depths=(1, 1, 1), base_dims=(16, 16, 32), latent_dim=4, head_dim=16,
+        dtype="float32", attention_impl="xla")
+    model = TransVAE(cfg)
+    params = init_params(model, jax.random.PRNGKey(0), image_size=16)
+    eng = InferenceEngine(model, params, max_batch=6)
+    eng.warmup(16, ops=("decode",))
+    batches = {k[3] for k in eng._compiled if k[0] == "decode"}
+    assert 6 in batches  # the live non-pow2 bucket is warmed
