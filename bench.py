@@ -3,9 +3,12 @@
 Matches BASELINE.json's metric ("encode+decode images/sec/chip at 256px (large
 variant)"). The reference publishes no wall-clock throughput (SURVEY.md §6) —
 the north star is ≥3x an A100-class chip. With no measurable A100 on hand, the
-A100 estimate is derived from this model's own measured compiled FLOPs assuming
-an A100 sustains 40% MFU of 312 bf16 TFLOPs (a strong, favourable-to-A100
-assumption); vs_baseline = measured / (3 x estimated A100 img/s).
+A100 estimate assumes an A100 sustains 40% MFU of 312 bf16 TFLOPs (a strong,
+favourable-to-A100 assumption) over the REFERENCE architecture's analytic
+FLOPs/image — pinned from the PyTorch reference via FlopCounterMode
+(scripts/reference_flops.py; utils/flops.py), NOT this repo's compiled FLOPs,
+so exact FLOP-reduction optimizations here don't move the target.
+vs_baseline = measured / (3 x estimated A100 img/s).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...extras}.
 """
@@ -52,7 +55,11 @@ def main():
     compiled = lowered.compile()
     cost = compiled.cost_analysis()
     flops_total = float(cost.get("flops", 0.0)) if cost else 0.0
-    flops_per_image = flops_total / BATCH
+    flops_per_image = flops_total / BATCH  # OUR compiled FLOPs (for MFU only)
+
+    from deepl_project_tpu.utils.flops import reference_flops_per_image
+
+    ref_flops_per_image = reference_flops_per_image(VARIANT, 16, 32, RES)
 
     # NOTE: block_until_ready does not truly synchronize through the axon
     # tunnel — a host fetch is the only reliable fence, so timing ends with a
@@ -70,13 +77,9 @@ def main():
     dt = best
     images_per_sec = BATCH * iters / dt
 
-    if flops_per_image > 0:
-        a100_img_s = (A100_BF16_PEAK_TFLOPS * 1e12 * A100_ASSUMED_MFU /
-                      flops_per_image)
-        vs_baseline = images_per_sec / (3.0 * a100_img_s)
-    else:
-        a100_img_s = 0.0
-        vs_baseline = 0.0
+    a100_img_s = (A100_BF16_PEAK_TFLOPS * 1e12 * A100_ASSUMED_MFU /
+                  ref_flops_per_image)
+    vs_baseline = images_per_sec / (3.0 * a100_img_s)
 
     print(json.dumps({
         "metric": f"encode+decode images/sec/chip, TransVAE-{VARIANT} "
@@ -86,6 +89,7 @@ def main():
         "vs_baseline": round(vs_baseline, 4),
         "step_ms": round(1e3 * dt / iters, 2),
         "tflops_per_image": round(flops_per_image / 1e12, 4),
+        "ref_tflops_per_image": round(ref_flops_per_image / 1e12, 4),
         "est_a100_images_per_sec_at_40pct_mfu": round(a100_img_s, 2),
         "device": str(jax.devices()[0]),
     }))
