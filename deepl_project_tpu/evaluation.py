@@ -72,7 +72,19 @@ def evaluate_model(model: TransVAE, params: Any,
     lpips_params = get_lpips_params() if (use_lpips or compute_rfid) else None
     step = make_metric_step(model, lpips_params if use_lpips else None)
     model_params = params["model"] if isinstance(params, dict) and "model" in params else params
-    feature_fn = make_vgg_feature_fn(lpips_params) if compute_rfid else None
+    feature_fn = None
+    rfid_key = None
+    if compute_rfid:
+        from .utils.inception import (inception_params_available,
+                                      make_inception_feature_fn)
+
+        if inception_params_available():
+            # The paper's protocol: InceptionV3 pool3 features (Table 1).
+            feature_fn = make_inception_feature_fn()
+            rfid_key = "rfid"
+        else:
+            feature_fn = make_vgg_feature_fn(lpips_params)
+            rfid_key = "vgg_rfid"
     real_feats: list = []
     fake_feats: list = []
 
@@ -103,7 +115,7 @@ def evaluate_model(model: TransVAE, params: Any,
     if feature_fn is not None and n_images > 1:
         from .utils.fid import fid_from_features
 
-        results["vgg_rfid"] = fid_from_features(
+        results[rfid_key] = fid_from_features(
             np.concatenate(real_feats), np.concatenate(fake_feats))
     if output_dir:
         os.makedirs(output_dir, exist_ok=True)

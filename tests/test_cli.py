@@ -134,13 +134,16 @@ def test_trainer_gan_stage2(tmp_path):
     assert os.path.isdir(os.path.join(out, "checkpoints"))
 
 
-def test_evaluate_with_vgg_rfid(model_and_params):
-    # vgg_rfid path: random-init VGG (no weights file) still yields a finite
-    # relative metric over >=2 batches.
+def test_evaluate_with_rfid(model_and_params):
+    # No Inception weights file in-repo → VGG-feature fallback; with a
+    # converted weights file present the key becomes 'rfid' (InceptionV3).
     model, params = model_and_params
     batches = [np.random.rand(4, 16, 16, 3).astype(np.float32)
                for _ in range(2)]
     results = evaluate_model(model, params, iter(batches), use_lpips=False,
                              compute_rfid=True)
-    assert "vgg_rfid" in results
-    assert np.isfinite(results["vgg_rfid"])
+    from deepl_project_tpu.utils.inception import inception_params_available
+
+    key = "rfid" if inception_params_available() else "vgg_rfid"
+    assert key in results
+    assert np.isfinite(results[key])
