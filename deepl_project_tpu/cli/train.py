@@ -74,6 +74,16 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--save_every_epochs", type=int, default=5)
     p.add_argument("--save_every_steps", type=int, default=0,
                    help="also checkpoint every N steps (0 = epochs only)")
+    p.add_argument("--eval_every_steps", type=int, default=0,
+                   help="compute validation PSNR/SSIM every N steps (the "
+                        "reference acceptance ladder is val-PSNR based)")
+    p.add_argument("--val_batches", type=int, default=4,
+                   help="number of fixed validation batches for "
+                        "--eval_every_steps")
+    p.add_argument("--dino_model", default="facebook/dinov2-base",
+                   help="VF teacher model name (used when --vf_weight > 0; "
+                        "falls back to a deterministic stub teacher when "
+                        "DINOv2 weights are not locally available)")
     p.add_argument("--log_every", type=int, default=100)
     p.add_argument("--mesh_model", type=int, default=1,
                    help="model-parallel axis size (tensor sharding for huge/giant)")
@@ -131,7 +141,8 @@ def main(argv=None):
         use_lpips=args.lpips_weight > 0, resolution=args.resolution,
         seed=args.seed, log_every=args.log_every,
         save_every_epochs=args.save_every_epochs,
-        save_every_steps=args.save_every_steps, output_dir=args.output_dir,
+        save_every_steps=args.save_every_steps,
+        eval_every_steps=args.eval_every_steps, output_dir=args.output_dir,
         mesh_model=args.mesh_model, param_sharding=args.param_sharding,
         mu_dtype=args.mu_dtype, optimizer=args.optimizer)
 
@@ -142,14 +153,39 @@ def main(argv=None):
              {"num_samples": 10 ** 9})
     source = make_dataset(args.data, resolution=args.resolution, **extra)
 
-    trainer = Trainer(model_cfg, train_cfg)
+    # VF teacher (reference stage-1 default is vf=0.1, patched
+    # vae_loss.py:31-38): DINOv2 when its weights are locally available,
+    # else a deterministic stub — either way the eager vf_proj is created in
+    # create_state and updated by the optimizer.
+    teacher_fn = None
+    if args.vf_weight > 0:
+        from ..losses.teachers import make_vf_teacher
+
+        teacher_fn = make_vf_teacher(args.dino_model)
+
+    trainer = Trainer(model_cfg, train_cfg, teacher_fn=teacher_fn)
+
+    # Fixed validation batches for the periodic val-PSNR hook: a held-out
+    # slice of the same source (distinct seed for synthetic sources).
+    val_batches = None
+    if args.eval_every_steps > 0:
+        from ..data import batch_iterator
+
+        val_kw = {"resolution": args.resolution}
+        if args.data in synthetic_sources:
+            val_kw["seed"] = 1234
+            val_kw["num_samples"] = args.val_batches * args.batch_size
+        val_src = make_dataset(args.data, **val_kw)
+        val_batches = [b for _, b in zip(
+            range(args.val_batches), batch_iterator(val_src, args.batch_size))]
+
     # Prefetch + stage batches on device in the trainer's (data, model)
     # sharding: host-side generation/decode and the H2D copy overlap the
     # previous step instead of serializing with it.
     from ..parallel import batch_sharding
     data = input_pipeline(source, args.batch_size,
                           sharding=batch_sharding(trainer.mesh))
-    trainer.fit(data)
+    trainer.fit(data, val_batches=val_batches)
 
 
 if __name__ == "__main__":

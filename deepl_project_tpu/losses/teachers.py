@@ -79,3 +79,48 @@ def make_dino_teacher(model_name: str = "facebook/dinov2-base",
     fn = make_resize_teacher(teacher, resize)
     fn.feature_dim = teacher.feature_dim  # type: ignore[attr-defined]
     return fn
+
+
+def make_stub_teacher(feature_dim: int = 768, patch: int = 14,
+                      resize: int = 224, seed: int = 0) -> Callable:
+    """Deterministic weight-free VF teacher: fixed random patch projection.
+
+    Keeps the VF path (eager projection, cosine-margin loss, optimizer
+    updates of vf_proj) runnable and testable end-to-end in zero-egress
+    environments where DINOv2 weights can't be fetched. It is a *stand-in
+    feature extractor*, not a semantic teacher — quality parity still needs
+    real DINOv2 — but the training graph is identical: same shapes
+    ([B, 224/p, 224/p, feature_dim] patch grid), same stop-gradient, same
+    projection geometry. Ref: patched vae_loss.py:119-196."""
+    key = jax.random.PRNGKey(seed)
+    proj = jax.random.normal(
+        key, (patch * patch * 3, feature_dim), jnp.float32)
+    proj = proj / jnp.sqrt(patch * patch * 3)
+
+    def backbone(x: jax.Array) -> jax.Array:
+        b, h, w, c = x.shape
+        gh, gw = h // patch, w // patch
+        patches = x[:, : gh * patch, : gw * patch, :].reshape(
+            b, gh, patch, gw, patch, c).transpose(0, 1, 3, 2, 4, 5)
+        patches = patches.reshape(b, gh, gw, patch * patch * c)
+        return jax.lax.stop_gradient(patches @ proj)
+
+    fn = make_resize_teacher(backbone, resize)
+    fn.feature_dim = feature_dim  # type: ignore[attr-defined]
+    return fn
+
+
+def make_vf_teacher(model_name: str = "facebook/dinov2-base",
+                    allow_stub: bool = True) -> Callable | None:
+    """The teacher the training CLI uses: DINOv2 when locally available,
+    otherwise the deterministic stub (with a warning) so --vf_weight > 0
+    always constructs a working VF path."""
+    fn = make_dino_teacher(model_name)
+    if fn is not None:
+        return fn
+    if not allow_stub:
+        return None
+    print("[teachers] WARNING: DINOv2 weights not locally available; using "
+          "the deterministic stub teacher (VF path exercised, semantics "
+          "need real weights)")
+    return make_stub_teacher()

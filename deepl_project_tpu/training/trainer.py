@@ -55,6 +55,9 @@ class TrainerConfig:
     # Also checkpoint every N optimizer steps (0 = epoch boundaries only) —
     # long epochs / preemptible capacity shouldn't risk a whole epoch of work.
     save_every_steps: int = 0
+    # Periodic validation PSNR/SSIM during training (0 = off). The reference's
+    # acceptance ladder is defined on val PSNR (EXPERIMENTS.md:424-437).
+    eval_every_steps: int = 0
     output_dir: str = "outputs"
     mesh_model: int = 1
     param_sharding: str = "replicate"  # 'replicate' | 'fsdp' | 'tensor'
@@ -79,6 +82,10 @@ class Trainer:
         self.mesh = create_mesh(data=data, model=train_config.mesh_model,
                                 devices=devices)
         self.teacher_fn = teacher_fn
+        # VF projection width: taken from the teacher so create_state can
+        # build vf_proj eagerly (reference defect §2.9.4 — lazy projection
+        # never reached the optimizer).
+        self.dino_dim = getattr(teacher_fn, "feature_dim", None)
 
         lpips_params = None
         if train_config.use_lpips and train_config.weights.lpips > 0:
@@ -165,9 +172,37 @@ class Trainer:
               f"(epoch {meta['epoch']})")
         return state, meta["epoch"]
 
+    # -- validation -------------------------------------------------------
+    def evaluate(self, state: TrainState, val_batches: list) -> dict:
+        """Mean PSNR/SSIM over fixed validation batches (the reference's
+        acceptance metric — val PSNR, EXPERIMENTS.md:424-437)."""
+        from ..evaluation import make_metric_step
+
+        if not hasattr(self, "_metric_step"):
+            self._metric_step = make_metric_step(self.model)
+        vals: dict[str, list] = {}
+        for batch in val_batches:
+            import jax.numpy as jnp
+
+            _, m = self._metric_step(state.params["model"], jnp.asarray(batch))
+            for k, v in m.items():
+                vals.setdefault(k, []).append(np.asarray(v))
+        return {f"val_{k}": float(np.concatenate(v).mean())
+                for k, v in vals.items()}
+
     # -- loop ------------------------------------------------------------
-    def fit(self, data_iter: Iterator[np.ndarray], state: TrainState | None = None
-            ) -> TrainState:
+    def fit(self, data_iter: Iterator[np.ndarray],
+            state: TrainState | None = None,
+            val_batches: list | None = None) -> TrainState:
+        """Run the training loop.
+
+        Note on epoch-end partial accumulation (ref train_2.py:387-402):
+        grad accumulation here lives INSIDE the jitted step (a lax.scan over
+        microbatches of one full batch), so no accumulation state ever spans
+        loop iterations — there is nothing to flush. The ragged final batch
+        of a finite dataset is dropped by batch_iterator(drop_last=True),
+        matching the reference DataLoader's drop_last.
+        """
         from ..utils.logging import MetricWriter, StepTimer
 
         # Dev-mode numerical sanitizer (SURVEY.md §5 "race detection" analogue):
@@ -178,7 +213,7 @@ class Trainer:
 
         rng = jax.random.PRNGKey(self.cfg.seed)
         if state is None:
-            state = self.create_state(rng)
+            state = self.create_state(rng, dino_dim=self.dino_dim)
         state, start_epoch = self.maybe_resume(state)
         writer = MetricWriter(os.path.join(self.cfg.output_dir, "tb"))
         sharding = batch_sharding(self.mesh)
@@ -189,7 +224,10 @@ class Trainer:
         # happens only on log/save boundaries.
         step = int(state.step)
         for epoch in range(start_epoch, self.cfg.num_epochs):
-            epoch_metrics = []
+            # Epoch averages are over the sampled log points (every log_every
+            # steps) — the reference averages every step, but that costs a
+            # D2H sync per step, which this loop deliberately avoids.
+            epoch_metrics: list[dict] = []
             for _ in range(self.cfg.steps_per_epoch):
                 try:
                     batch = next(data_iter)
@@ -211,6 +249,21 @@ class Trainer:
                     print(f"[trainer] epoch {epoch} step {step} "
                           f"loss {host['total']:.4f} "
                           f"({host['images_per_sec']:.1f} img/s)")
+                if (self.cfg.eval_every_steps and val_batches
+                        and step % self.cfg.eval_every_steps == 0):
+                    val = self.evaluate(state, val_batches)
+                    writer.scalars(step, val)
+                    print(f"[trainer] epoch {epoch} step {step} "
+                          f"val_psnr {val['val_psnr']:.2f} dB "
+                          f"val_ssim {val['val_ssim']:.4f}")
+            if epoch_metrics:  # epoch-average logging (ref prints epoch avg)
+                avg = {f"epoch_avg/{k}": float(np.mean([m[k]
+                                                        for m in epoch_metrics]))
+                       for k in epoch_metrics[0]}
+                writer.scalars(step, avg)
+                print(f"[trainer] epoch {epoch} done: avg loss "
+                      f"{avg['epoch_avg/total']:.4f} over "
+                      f"{len(epoch_metrics)} log points")
             if ((epoch + 1) % self.cfg.save_every_epochs == 0
                     or epoch == self.cfg.num_epochs - 1):
                 self.save(state, epoch)

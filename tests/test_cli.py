@@ -147,3 +147,40 @@ def test_evaluate_with_rfid(model_and_params):
     key = "rfid" if inception_params_available() else "vgg_rfid"
     assert key in results
     assert np.isfinite(results[key])
+
+
+def test_stub_teacher_deterministic():
+    from deepl_project_tpu.losses.teachers import make_stub_teacher
+
+    t = make_stub_teacher(feature_dim=32, patch=8, resize=32)
+    assert t.feature_dim == 32
+    x = np.random.RandomState(0).rand(2, 16, 16, 3).astype(np.float32)
+    f1 = np.asarray(t(x))
+    f2 = np.asarray(make_stub_teacher(feature_dim=32, patch=8, resize=32)(x))
+    assert f1.shape == (2, 4, 4, 32)
+    np.testing.assert_array_equal(f1, f2)  # deterministic across builds
+
+
+def test_train_cli_vf_end_to_end(tmp_path):
+    # --vf_weight > 0 with no local DINOv2 → stub teacher; the eager vf_proj
+    # must exist in the checkpoint AND have been updated by the optimizer
+    # (reference defect §2.9.4: lazy projection never trained).
+    from deepl_project_tpu.cli.train import main
+
+    out = str(tmp_path / "vf_run")
+    main(["--variant", "tiny", "--data", "shapes", "--resolution", "32",
+          "--batch_size", "2", "--num_epochs", "1", "--steps_per_epoch", "2",
+          "--lpips_weight", "0", "--vf_weight", "0.1", "--warmup_steps", "0",
+          "--eval_every_steps", "2", "--val_batches", "1",
+          "--save_every_epochs", "1", "--log_every", "1",
+          "--output_dir", out])
+    from deepl_project_tpu.training.checkpoint import restore_checkpoint
+    from deepl_project_tpu.training.train_step import make_vf_proj_params
+
+    payload, _ = restore_checkpoint(os.path.join(out, "checkpoints"))
+    assert "vf_proj" in payload["params"], "eager VF projection missing"
+    init = make_vf_proj_params(jax.random.PRNGKey(42), 32, 768)
+    trained = payload["params"]["vf_proj"]["kernel"]
+    assert trained.shape == init["kernel"].shape == (32, 768)
+    assert not np.allclose(np.asarray(trained), np.asarray(init["kernel"])), \
+        "vf_proj was never updated by the optimizer"
