@@ -52,6 +52,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--data", default="synthetic",
                    help="'synthetic', 'hf:<dataset>', or a local path")
     p.add_argument("--resolution", type=int, default=256)
+    p.add_argument("--num_workers", type=int, default=-1,
+                   help="parallel decode threads for folder/COCO sources "
+                        "(the reference's DataLoader workers, ref: "
+                        "train.py:449-459); -1 = min(cpu_count, 16)")
     # Training
     p.add_argument("--batch_size", type=int, default=16)
     p.add_argument("--accum_steps", type=int, default=1)
@@ -147,10 +151,14 @@ def main(argv=None):
         mu_dtype=args.mu_dtype, optimizer=args.optimizer)
 
     synthetic_sources = ("synthetic", "shapes")
-    extra = ({"repeat": True}
-             if args.data not in synthetic_sources
-             and not args.data.startswith("hf:") else
-             {"num_samples": 10 ** 9})
+    if args.data not in synthetic_sources and not args.data.startswith("hf:"):
+        import os as _os
+
+        workers = (min(_os.cpu_count() or 1, 16) if args.num_workers < 0
+                   else args.num_workers)
+        extra = {"repeat": True, "num_workers": workers}
+    else:
+        extra = {"num_samples": 10 ** 9}
     source = make_dataset(args.data, resolution=args.resolution, **extra)
 
     # VF teacher (reference stage-1 default is vf=0.1, patched

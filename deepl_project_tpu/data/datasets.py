@@ -61,6 +61,66 @@ def synthetic_shapes_dataset(resolution: int = 256, num_samples: int = 1024,
         yield img.astype(np.float32)
 
 
+def _iter_decoded(files: list[str], resolution: int, num_workers: int,
+                  label_of=None):
+    """Decode an ordered path list, optionally in parallel.
+
+    num_workers > 0 enables parallel decode (the reference's DataLoader
+    worker analogue, ref: train.py:449-459): the native C++ decoder runs
+    ``decode_batch`` chunks on its own threads (GIL-free) with one chunk
+    prefetched ahead; the PIL fallback maps over a thread pool (PIL decode
+    releases the GIL). Yields images or (image, label) when ``label_of`` is
+    given; unreadable files are skipped like a DataLoader would.
+    """
+    from . import native_loader
+
+    native = native_loader.native_available()
+    if num_workers <= 0:  # serial path (tests, tiny runs)
+        for path in files:
+            if native:
+                sample = native_loader.decode_file(path, resolution)
+            else:
+                try:
+                    sample = preprocess_file(path, resolution)
+                except Exception:
+                    sample = None
+            if sample is None:
+                continue
+            yield (sample, label_of(path)) if label_of else sample
+        return
+
+    if native:
+        from concurrent.futures import ThreadPoolExecutor
+
+        chunk_size = max(num_workers * 4, 16)
+        chunks = [files[i:i + chunk_size]
+                  for i in range(0, len(files), chunk_size)]
+        with ThreadPoolExecutor(max_workers=1) as ex:  # double buffer
+            pending = None
+            for nxt in chunks + [None]:
+                fut = (ex.submit(native_loader.decode_batch, nxt, resolution,
+                                 num_workers) if nxt is not None else None)
+                if pending is not None:
+                    (batch, ok), paths = pending[0].result(), pending[1]
+                    for img, good, path in zip(batch, ok, paths):
+                        if good:
+                            yield (img, label_of(path)) if label_of else img
+                pending = (fut, nxt)
+    else:
+        from concurrent.futures import ThreadPoolExecutor
+
+        def decode_one(path):
+            try:
+                return path, preprocess_file(path, resolution)
+            except Exception:
+                return path, None
+
+        with ThreadPoolExecutor(max_workers=num_workers) as ex:
+            for path, img in ex.map(decode_one, files, chunksize=4):
+                if img is not None:
+                    yield (img, label_of(path)) if label_of else img
+
+
 def folder_class_index(root: str) -> dict[str, int]:
     """ImageFolder class mapping: sorted immediate subdirectories of root."""
     classes = sorted(d for d in os.listdir(root)
@@ -73,11 +133,13 @@ def image_folder_dataset(root: str, resolution: int = 256,
                          shard_index: int | None = None,
                          num_shards: int | None = None,
                          repeat: bool = False,
-                         with_labels: bool = False) -> Iterator:
+                         with_labels: bool = False,
+                         num_workers: int = 0) -> Iterator:
     """Recursive folder-of-images loader (ImageFolder semantics; ref:
     train.py:132-175). With ``with_labels`` each item is ``(image, label)``
     where label is the index of the top-level class directory (-1 for images
-    not under one) — the torchvision ImageFolder contract."""
+    not under one) — the torchvision ImageFolder contract. ``num_workers``
+    enables parallel decode (see _iter_decoded)."""
     files = []
     for dirpath, _, names in os.walk(root):
         for n in sorted(names):
@@ -96,26 +158,13 @@ def image_folder_dataset(root: str, resolution: int = 256,
     if num_shards and num_shards > 1:
         idx = shard_index or 0
         files = files[idx::num_shards]
-    # Prefer the native C++ decoder (threaded, GIL-free) when built.
-    from . import native_loader
-
-    native = native_loader.native_available()
     epoch = 0
     while True:
         order = list(files)
         if shuffle:
             random.Random(seed + epoch).shuffle(order)
-        for path in order:
-            if native:
-                sample = native_loader.decode_file(path, resolution)
-            else:
-                try:
-                    sample = preprocess_file(path, resolution)
-                except Exception:
-                    sample = None  # skip unreadable files like a DataLoader
-            if sample is None:
-                continue
-            yield (sample, label_of(path)) if with_labels else sample
+        yield from _iter_decoded(order, resolution, num_workers,
+                                 label_of if with_labels else None)
         epoch += 1
         if not repeat:
             return
@@ -124,7 +173,9 @@ def image_folder_dataset(root: str, resolution: int = 256,
 def coco_dataset(root: str, resolution: int = 256,
                  split: str = "train2017", max_samples: int | None = None,
                  shard_index: int | None = None,
-                 num_shards: int | None = None) -> Iterator[np.ndarray]:
+                 num_shards: int | None = None,
+                 num_workers: int = 0,
+                 repeat: bool = False) -> Iterator[np.ndarray]:
     """COCO images via the instances annotation file (ref:
     train_working.py:46-96; kagglehub auto-download is replaced by an explicit
     local ``root`` — this environment has no network egress)."""
@@ -141,12 +192,11 @@ def coco_dataset(root: str, resolution: int = 256,
         names = names[:max_samples]
     if num_shards and num_shards > 1:
         names = names[(shard_index or 0)::num_shards]
-    for name in names:
-        path = os.path.join(img_dir, name)
-        try:
-            yield preprocess_file(path, resolution)
-        except Exception:
-            continue
+    files = [os.path.join(img_dir, name) for name in names]
+    while True:
+        yield from _iter_decoded(files, resolution, num_workers)
+        if not repeat:
+            return
 
 
 def hf_streaming_dataset(name: str = "evanarlian/imagenet_1k_resized_256",
@@ -189,10 +239,12 @@ def make_dataset(source: str, resolution: int = 256,
     if source in ("synthetic", "shapes"):
         kw.pop("shard_index", None)
         kw.pop("num_shards", None)
+        kw.pop("num_workers", None)
         fn = synthetic_dataset if source == "synthetic" else synthetic_shapes_dataset
         it = fn(resolution, **kw)
         return _with_dummy_labels(it) if with_labels else it
     if source.startswith("hf:"):
+        kw.pop("num_workers", None)
         return hf_streaming_dataset(source[3:], resolution=resolution,
                                     with_labels=with_labels, **kw)
     if os.path.isdir(os.path.join(source, "annotations")):

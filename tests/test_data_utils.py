@@ -185,3 +185,45 @@ def test_batch_iterator_labeled_tuples():
     assert labels.shape == (4,) and labels.dtype == np.int32
     assert (labels == -1).all()  # synthetic source is unlabeled
     assert batches[-1][0].shape[0] == 2  # ragged tail kept
+
+
+def test_parallel_decode_matches_serial(tmp_path):
+    from PIL import Image
+
+    for cls in ("a", "b"):
+        d = tmp_path / cls
+        d.mkdir()
+        for i in range(5):
+            Image.fromarray(
+                (np.random.RandomState(hash(cls) % 100 + i)
+                 .rand(12, 12, 3) * 255).astype(np.uint8)
+            ).save(d / f"{i}.png")
+    from deepl_project_tpu.data.datasets import image_folder_dataset
+
+    serial = list(image_folder_dataset(str(tmp_path), resolution=8,
+                                       shuffle=False, with_labels=True,
+                                       num_workers=0))
+    parallel = list(image_folder_dataset(str(tmp_path), resolution=8,
+                                         shuffle=False, with_labels=True,
+                                         num_workers=4))
+    assert len(serial) == len(parallel) == 10
+    for (si, sl), (pi, pl) in zip(serial, parallel):
+        np.testing.assert_array_equal(si, pi)  # order + pixels preserved
+        assert sl == pl
+
+
+def test_coco_parallel_and_repeat(tmp_path):
+    from PIL import Image
+
+    img_dir = tmp_path / "train2017"
+    img_dir.mkdir()
+    for i in range(4):
+        Image.fromarray((np.random.RandomState(i).rand(10, 10, 3) * 255)
+                        .astype(np.uint8)).save(img_dir / f"{i}.jpg")
+    from deepl_project_tpu.data.datasets import coco_dataset
+
+    once = list(coco_dataset(str(tmp_path), resolution=8, num_workers=2))
+    assert len(once) == 4
+    it = coco_dataset(str(tmp_path), resolution=8, num_workers=2, repeat=True)
+    twice = [next(it) for _ in range(8)]  # repeats past one epoch
+    np.testing.assert_array_equal(twice[0], twice[4])
