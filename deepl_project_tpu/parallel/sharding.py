@@ -22,9 +22,20 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from .mesh import MODEL_AXIS
 
-# Dense kernels are [in, out]; conv kernels are HWIO.
+# Dense kernels are [in, out]; conv kernels are HWIO. Scanned BlockStack
+# params ("scan" in the path) carry a leading depth axis which is never
+# sharded — the rules below apply to the trailing dims.
 _COLUMN_PARALLEL = ("to_q", "to_k", "to_v", "proj_in")  # shard output dim
-_ROW_PARALLEL = ("proj", "proj_out")  # shard input dim
+_ROW_PARALLEL = ("proj", "proj_out")  # shard input dim (XLA psums output)
+# Conv HWIO kernels. 'column' shards output channels; 'row' shards input
+# channels (partial sums psummed by XLA). ResBlock pairs conv1(col) ->
+# GN/SiLU (channel-local: 32 groups stay whole per shard for model_size | 32)
+# -> conv2(row), the Megatron pattern applied to the FLOP-dominant 3x3 convs
+# (ref blocks.py:12-68); Down/Upsample main_0/main_1 pair the same way, and
+# the dc/shortcut/latent-head/conv_out 'row' entries ride the same psum.
+_CONV_COLUMN = ("conv_0", "conv_2", "conv1", "main_0")
+_CONV_ROW = ("conv2", "main_1", "shortcut", "dc_conv",
+             "conv_mu", "conv_logvar", "conv_out")
 
 
 def _path_names(path) -> list[str]:
@@ -34,17 +45,27 @@ def _path_names(path) -> list[str]:
 def _spec_for_tensor(names: list[str], shape: tuple, model_size: int) -> P:
     leaf = names[-1]
     parent = names[-2] if len(names) >= 2 else ""
-    if leaf == "kernel" and len(shape) == 2:
-        if parent in _COLUMN_PARALLEL and shape[1] % model_size == 0:
-            return P(None, MODEL_AXIS)
-        if parent in _ROW_PARALLEL and shape[0] % model_size == 0:
-            return P(MODEL_AXIS, None)
-    if leaf == "bias" and parent in _COLUMN_PARALLEL and shape[0] % model_size == 0:
-        return P(MODEL_AXIS)
-    if leaf == "kernel" and len(shape) == 4:
-        # Conv HWIO: shard output channels of the wide FFN bottleneck convs.
-        if parent in ("conv_0", "conv_2") and shape[3] % model_size == 0:
-            return P(None, None, None, MODEL_AXIS)
+    stacked = 1 if "scan" in names else 0  # leading lax.scan depth axis
+    rank = len(shape) - stacked
+    pre = (None,) * stacked
+
+    def spec(*dims) -> P:
+        return P(*(pre + dims))
+
+    if leaf == "kernel" and rank == 2:
+        if parent in _COLUMN_PARALLEL and shape[-1] % model_size == 0:
+            return spec(None, MODEL_AXIS)
+        if parent in _ROW_PARALLEL and shape[-2] % model_size == 0:
+            return spec(MODEL_AXIS, None)
+    if leaf == "kernel" and rank == 4:
+        if parent in _CONV_COLUMN and shape[-1] % model_size == 0:
+            return spec(None, None, None, MODEL_AXIS)
+        if parent in _CONV_ROW and shape[-2] % model_size == 0:
+            return spec(None, None, MODEL_AXIS, None)
+    if (leaf == "bias" and rank == 1
+            and parent in _COLUMN_PARALLEL + _CONV_COLUMN
+            and shape[-1] % model_size == 0):
+        return spec(MODEL_AXIS)
     return P()
 
 

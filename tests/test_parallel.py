@@ -94,6 +94,60 @@ def test_tensor_parallel_specs(rng):
         assert spec == P(None, "model"), (path, spec)
 
 
+def test_tensor_parallel_conv_specs(rng):
+    # The FLOP-dominant ResBlock 3x3 convs are Megatron-paired:
+    # conv1 column-parallel (output channels), conv2 row-parallel (input
+    # channels, psum), latent heads row-parallel.
+    model = micro_model()
+    x = jnp.zeros((1, 16, 16, 3))
+    params = model.init({"params": jax.random.PRNGKey(0), "sample": rng}, x)["params"]
+    specs = param_specs({"model": params}, "tensor", model_size=2)
+    flat = jax.tree_util.tree_flatten_with_path(
+        specs, is_leaf=lambda s: isinstance(s, P))[0]
+
+    def find(parent, leaf):
+        return [s for p, s in flat
+                if str(getattr(p[-2], "key", "")) == parent
+                and str(getattr(p[-1], "key", "")) == leaf]
+
+    assert find("conv1", "kernel"), "ResBlock conv1 must exist"
+    for s in find("conv1", "kernel"):
+        assert s == P(None, None, None, "model"), s
+    for s in find("conv2", "kernel"):
+        assert s == P(None, None, "model", None), s
+    for s in find("conv_mu", "kernel") + find("conv_logvar", "kernel"):
+        assert s == P(None, None, "model", None), s
+
+
+def test_tensor_parallel_specs_scanned(rng):
+    # scan_blocks stacks params with a leading depth axis ("scan" in the
+    # path); TP rules must still shard the trailing dims.
+    cfg = get_config("tiny_f16d32", dtype="float32", attention_impl="xla")
+    model = TransVAE(cfg.replace(depths=(2, 2, 2), base_dims=(16, 16, 32),
+                                 latent_dim=4, head_dim=16, scan_blocks=True))
+    x = jnp.zeros((1, 16, 16, 3))
+    params = model.init({"params": jax.random.PRNGKey(0), "sample": rng}, x)["params"]
+    specs = param_specs({"model": params}, "tensor", model_size=2)
+    flat = jax.tree_util.tree_flatten_with_path(
+        specs, is_leaf=lambda s: isinstance(s, P))[0]
+    scanned_qkv = [
+        (p, s) for p, s in flat
+        if any(str(getattr(k, "key", "")) == "scan" for k in p)
+        and str(getattr(p[-2], "key", "")) == "to_q"
+        and str(getattr(p[-1], "key", "")) == "kernel"]
+    assert scanned_qkv, "scanned attention projections must exist"
+    for path, spec in scanned_qkv:
+        assert spec == P(None, None, "model"), (path, spec)
+    scanned_conv = [
+        (p, s) for p, s in flat
+        if any(str(getattr(k, "key", "")) == "scan" for k in p)
+        and str(getattr(p[-2], "key", "")) == "conv1"
+        and str(getattr(p[-1], "key", "")) == "kernel"]
+    assert scanned_conv, "scanned ResBlock convs must exist"
+    for path, spec in scanned_conv:
+        assert spec == P(None, None, None, None, "model"), (path, spec)
+
+
 def test_tensor_parallel_forward_matches_replicated(rng):
     # Numerical equivalence: tensor-sharded params produce the same forward
     # as replicated execution (XLA inserts the collectives).
