@@ -166,6 +166,22 @@ class _DenseParams(nn.Module):
                           (self.dim, self.features), self.param_dtype)
 
 
+class _DenseBiasParams(nn.Module):
+    """Parameter holder matching biased nn.Dense's tree ({kernel, bias})."""
+
+    dim: int
+    features: int
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self):
+        kernel = self.param("kernel", nn.initializers.truncated_normal(0.02),
+                            (self.dim, self.features), self.param_dtype)
+        bias = self.param("bias", nn.initializers.zeros, (self.features,),
+                          self.param_dtype)
+        return kernel, bias
+
+
 class AttentionRoPE(nn.Module):
     """Multi-head global attention block operating on NHWC feature maps."""
 
@@ -201,6 +217,37 @@ class AttentionRoPE(nn.Module):
         n = h * w
 
         xf = x.reshape(b, n, c)
+
+        # Fully-fused sublayer kernel (inference, N<=1024): LN trio + QKV +
+        # RoPE + attention + proj in one VMEM-resident Pallas program — x is
+        # read once and the sublayer output written once (see
+        # pallas/fused_attention_block.py). Training ('auto_train') and CP
+        # keep the composable path.
+        from .pallas.fused_attention_block import supported as _fused_ok
+
+        use_fused = (
+            self.impl in ("auto", "fused")
+            and (self.dropout == 0.0 or deterministic)
+            and not self.fuse_qkv
+            and jax.default_backend() == "tpu"
+            and _ambient_axis_size(self.context_axis) == 1
+            and _fused_ok(n, c, self.head_dim, self.dtype))
+        if use_fused:
+            from .pallas.fused_attention_block import fused_attention_sublayer
+
+            ln = tuple(_LNParams(self.dim, self.param_dtype,
+                                 name=f"norm_{t}")() for t in "qkv")
+            wq_, wk_, wv_ = (_DenseParams(self.dim, self.dim,
+                                          self.param_dtype,
+                                          name=f"to_{t}")() for t in "qkv")
+            wp_, bp_ = _DenseBiasParams(self.dim, self.dim, self.param_dtype,
+                                        name="proj")()
+            out = fused_attention_sublayer(
+                xf, ln, wq_, wk_, wv_, wp_, bp_, h, w,
+                pairing=self.rope_pairing, head_dim=self.head_dim,
+                use_rope=self.use_rope)
+            return out.reshape(b, h, w, c)
+
         if self.fuse_qkv:
             ln = [_LNParams(self.dim, self.param_dtype, name=f"norm_{t}")()
                   for t in "qkv"]

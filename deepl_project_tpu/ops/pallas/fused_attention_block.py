@@ -1,0 +1,309 @@
+"""Fused attention sublayer: QKV-norm trio + projections + RoPE + attention
++ output projection in one Pallas kernel (inference path, N <= 1024).
+
+Motivation (PERFORMANCE.md round-1 audit): the transformer stages dominate
+the 256px encode+decode wall time, and most of each block's attention
+sublayer is NOT the attention core (3.2 ms via the whole-head kernel at the
+stage-3 shape) but the HBM round-trips around it: three LayerNorm stat
+passes over x, three projection reads/writes, a RoPE pass over q/k, the
+[B,N,h,d] <-> [B*h,N,d] transposes into and out of the attention kernel,
+and the proj read/write. This kernel keeps the whole sublayer VMEM-resident
+per (batch, head-group): x is read ONCE from HBM and the sublayer output is
+written ONCE.
+
+Matches the reference op-by-op (transvae/modules/attention.py:12-104 — the
+three separate input LayerNorms, bias-free QKV, head split, 2D RoPE with
+either pairing, scaled fp32 softmax, biased output projection), with the
+same bf16-in/fp32-accumulate matmul semantics as the unfused flax path.
+
+Design notes:
+- Grid (B, head_groups). The x block's index map is constant in the inner
+  (head-group) axis so Pallas keeps it resident; weight column/row slices
+  stream per group. A fp32 [N, C] scratch accumulates the per-group output
+  projection partials (exact K-split of the proj matmul), emitted once on
+  the last group. This bounds VMEM for wide stages (c1536 at 16px would
+  need 19 MB of full QKV+proj weights — per-group slices fit easily).
+- RoPE without lane shuffles: the q/k weight COLUMNS are pre-permuted per
+  head (even pair-entries first, odd second), so the rotation is pure
+  elementwise arithmetic on contiguous [N, hd/2] halves. Attention is
+  invariant to a per-head channel permutation applied to both q and k; v
+  and the output stay in the original layout, so results are unchanged.
+- The per-head attention output overwrites that head's slice of the q
+  buffer (q is fully consumed first) — no extra [N, hg] buffer.
+- The LN trio shares one normalization (stats depend only on x); each
+  branch applies its own affine before its projection, like the fuse_qkv
+  rewrite (attention.py:178-223) — exact up to fp reassociation.
+
+Forward-only: the custom VJP differentiates the XLA composition below
+(`_reference`), which is what training uses anyway ('auto_train' never
+selects this kernel).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_MAX_N = 1024  # fp32 [q_chunk, N] score blocks + [N, C] buffers must fit VMEM
+_LN_EPS = 1e-5
+
+
+def _kernel(x_ref, wq_ref, wk_ref, wv_ref, wp_ref,
+            gq_ref, bq_ref, gk_ref, bk_ref, gv_ref, bv_ref, bp_ref,
+            ca_ref, sa_ref, cb_ref, sb_ref,
+            o_ref,
+            xhat_ref, xt_ref, q_ref, k_ref, v_ref, acc_ref,
+            *, group_heads: int, head_dim: int, scale: float, n_groups: int,
+            q_chunk: int, use_rope: bool):
+    hg = pl.program_id(1)
+    n = x_ref.shape[1]
+    f32 = jnp.float32
+
+    @pl.when(hg == 0)
+    def _prep():
+        # Shared LN statistics (fp32), cached for all head groups.
+        x32 = x_ref[0].astype(f32)
+        mean = jnp.mean(x32, axis=-1, keepdims=True)
+        var = jnp.mean(jnp.square(x32 - mean), axis=-1, keepdims=True)
+        xhat_ref[...] = ((x32 - mean) * jax.lax.rsqrt(var + _LN_EPS)
+                        ).astype(xhat_ref.dtype)
+        acc_ref[...] = jnp.zeros(acc_ref.shape, acc_ref.dtype)
+
+    xhat32 = xhat_ref[...].astype(f32)
+    for g_ref, b_ref, w_ref, dst_ref in (
+            (gq_ref, bq_ref, wq_ref, q_ref),
+            (gk_ref, bk_ref, wk_ref, k_ref),
+            (gv_ref, bv_ref, wv_ref, v_ref)):
+        xt = (xhat32 * g_ref[0].astype(f32)
+              + b_ref[0].astype(f32)).astype(xt_ref.dtype)
+        xt_ref[...] = xt
+        dst_ref[...] = jax.lax.dot(
+            xt_ref[...], w_ref[...],
+            preferred_element_type=f32).astype(dst_ref.dtype)
+
+    hd2 = head_dim // 2
+    if use_rope:
+        ca = ca_ref[...]  # [N, hd/2] fp32
+        sa = sa_ref[...]
+        cb = cb_ref[...]
+        sb = sb_ref[...]
+        for h_i in range(group_heads):
+            lo = h_i * head_dim
+            for ref in (q_ref, k_ref):
+                e = ref[:, lo:lo + hd2].astype(f32)
+                o = ref[:, lo + hd2:lo + head_dim].astype(f32)
+                ref[:, lo:lo + hd2] = (e * ca - o * sa).astype(ref.dtype)
+                ref[:, lo + hd2:lo + head_dim] = (
+                    e * sb + o * cb).astype(ref.dtype)
+
+    for h_i in range(group_heads):
+        sl = slice(h_i * head_dim, (h_i + 1) * head_dim)
+        kh = k_ref[:, sl]
+        vh = v_ref[:, sl]
+        for c0 in range(0, n, q_chunk):
+            qc = q_ref[c0:c0 + q_chunk, sl]
+            s = jax.lax.dot_general(
+                qc, kh, (((1,), (1,)), ((), ())),
+                preferred_element_type=f32) * scale  # [q_chunk, N]
+            m = jnp.max(s, axis=-1, keepdims=True)
+            p = jnp.exp(s - m)
+            p = (p / jnp.sum(p, axis=-1, keepdims=True)).astype(vh.dtype)
+            # q rows [c0:c0+q_chunk] of this head are consumed; reuse them
+            # as the attention-output store.
+            q_ref[c0:c0 + q_chunk, sl] = jnp.dot(
+                p, vh, preferred_element_type=f32).astype(q_ref.dtype)
+
+    acc_ref[...] += jax.lax.dot(q_ref[...], wp_ref[...],
+                                preferred_element_type=f32)
+
+    @pl.when(hg == n_groups - 1)
+    def _emit():
+        o_ref[0] = (acc_ref[...]
+                    + bp_ref[0].astype(f32)).astype(o_ref.dtype)
+
+
+def _rope_tables(head_dim: int, height: int, width: int, pairing: str):
+    from ..rope import _rope2d_tables_np
+
+    cos_a, sin_a, cos_b, sin_b = _rope2d_tables_np(head_dim, height, width)
+    if pairing == "standard":
+        cos_b, sin_b = cos_a, sin_a
+    elif pairing != "reference":
+        raise ValueError(f"Unknown rope pairing: {pairing!r}")
+    return tuple(jnp.asarray(t) for t in (cos_a, sin_a, cos_b, sin_b))
+
+
+def _head_perm(num_heads: int, head_dim: int) -> np.ndarray:
+    """Per-head column permutation: even pair-entries first, odd second."""
+    idx = []
+    for h in range(num_heads):
+        base = h * head_dim
+        idx.extend(base + i for i in range(0, head_dim, 2))
+        idx.extend(base + i for i in range(1, head_dim, 2))
+    return np.asarray(idx, dtype=np.int32)
+
+
+def _pick_group(num_heads: int, head_dim: int, n: int, c: int) -> int:
+    """Largest head-group size with the working set comfortably in VMEM."""
+    # Rough per-candidate VMEM bytes: x + xhat + xt (+out) [N,C] bf16, acc
+    # [N,C] fp32, weight slices (double-buffered) + q/k/v group buffers.
+    best = 1
+    for g in range(1, num_heads + 1):
+        if num_heads % g:
+            continue
+        hgd = g * head_dim
+        fixed = n * c * 2 * 4 + n * c * 4  # x(db), xhat, xt/out, acc
+        wts = 2 * (4 * c * hgd * 2)        # 4 slices, double-buffered
+        bufs = 3 * n * hgd * 2
+        scores = min(n, 512) * n * 4
+        if fixed + wts + bufs + scores <= 13 * 1024 * 1024:
+            best = g
+    return best
+
+
+def _reference(xf, ln_params, wq, wk, wv, wp, bp, height, width,
+               pairing, head_dim, scale, use_rope):
+    """XLA composition with identical math — backward path and CPU/test
+    reference. ln_params: ((gq, bq), (gk, bk), (gv, bv))."""
+    from ..rope import apply_rope2d
+
+    b, n, c = xf.shape
+    nh = c // head_dim
+    x32 = xf.astype(jnp.float32)
+    mean = jnp.mean(x32, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(x32 - mean), axis=-1, keepdims=True)
+    xhat = ((x32 - mean) * jax.lax.rsqrt(var + _LN_EPS)).astype(xf.dtype)
+
+    outs = []
+    for (g, bb), w in zip(ln_params, (wq, wk, wv)):
+        xt = (xhat.astype(jnp.float32) * g.astype(jnp.float32)
+              + bb.astype(jnp.float32)).astype(xf.dtype)
+        outs.append(jnp.dot(xt, w.astype(xf.dtype),
+                            preferred_element_type=jnp.float32).astype(xf.dtype))
+    q, k, v = (t.reshape(b, n, nh, head_dim) for t in outs)
+    if use_rope:
+        q = apply_rope2d(q, height, width, pairing)
+        k = apply_rope2d(k, height, width, pairing)
+    logits = jnp.einsum("bqhd,bkhd->bhqk", q, k,
+                        preferred_element_type=jnp.float32)
+    weights = jax.nn.softmax(logits * scale, axis=-1)
+    o = jnp.einsum("bhqk,bkhd->bqhd", weights.astype(v.dtype), v,
+                   preferred_element_type=jnp.float32).astype(v.dtype)
+    o = o.reshape(b, n, c)
+    return (jnp.dot(o, wp.astype(xf.dtype),
+                    preferred_element_type=jnp.float32)
+            + bp.astype(jnp.float32)[None, None]).astype(xf.dtype)
+
+
+def _forward(xf, ln_params, wq, wk, wv, wp, bp, height, width,
+             pairing, head_dim, scale, use_rope, interpret):
+    b, n, c = xf.shape
+    nh = c // head_dim
+    dt = xf.dtype
+    g = _pick_group(nh, head_dim, n, c)
+    n_groups = nh // g
+    hgd = g * head_dim
+    q_chunk = 512 if n % 512 == 0 else 256  # supported() guarantees n%256==0
+
+    perm = _head_perm(nh, head_dim)
+    wqp = wq[:, perm].astype(dt)
+    wkp = wk[:, perm].astype(dt)
+    ca, sa, cb, sb = _rope_tables(head_dim, height, width, pairing)
+
+    def row(v32):
+        return v32.astype(jnp.float32).reshape(1, -1)
+
+    ln_rows = [row(t) for pair in ln_params for t in pair]
+    (gq, bq), (gk, bk), (gv, bv) = (
+        (ln_rows[0], ln_rows[1]), (ln_rows[2], ln_rows[3]),
+        (ln_rows[4], ln_rows[5]))
+
+    wspec_col = pl.BlockSpec((c, hgd), lambda i, j: (0, j),
+                             memory_space=pltpu.VMEM)
+    wspec_row = pl.BlockSpec((hgd, c), lambda i, j: (j, 0),
+                             memory_space=pltpu.VMEM)
+    vec = pl.BlockSpec((1, c), lambda i, j: (0, 0), memory_space=pltpu.VMEM)
+    tab = pl.BlockSpec((n, head_dim // 2), lambda i, j: (0, 0),
+                       memory_space=pltpu.VMEM)
+    xspec = pl.BlockSpec((1, n, c), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM)
+
+    out = pl.pallas_call(
+        functools.partial(
+            _kernel, group_heads=g, head_dim=head_dim, scale=float(scale),
+            n_groups=n_groups, q_chunk=q_chunk, use_rope=use_rope),
+        grid=(b, n_groups),
+        in_specs=[xspec, wspec_col, wspec_col, wspec_col, wspec_row,
+                  vec, vec, vec, vec, vec, vec, vec,
+                  tab, tab, tab, tab],
+        out_specs=xspec,
+        out_shape=jax.ShapeDtypeStruct((b, n, c), dt),
+        scratch_shapes=[
+            pltpu.VMEM((n, c), dt),            # xhat
+            pltpu.VMEM((n, c), dt),            # xt
+            pltpu.VMEM((n, hgd), dt),          # q (reused as attn out)
+            pltpu.VMEM((n, hgd), dt),          # k
+            pltpu.VMEM((n, hgd), dt),          # v
+            pltpu.VMEM((n, c), jnp.float32),   # proj accumulator
+        ],
+        interpret=interpret,
+    )(xf, wqp, wkp, wv.astype(dt), wp.astype(dt),
+      gq, bq, gk, bk, gv, bv, row(bp),
+      ca, sa, cb, sb)
+    return out
+
+
+@functools.lru_cache(maxsize=None)
+def _make_op(height, width, pairing, head_dim, scale, use_rope, interpret):
+    @jax.custom_vjp
+    def op(xf, gq, bq, gk, bk, gv, bv, wq, wk, wv, wp, bp):
+        return _forward(xf, ((gq, bq), (gk, bk), (gv, bv)), wq, wk, wv,
+                        wp, bp, height, width, pairing, head_dim, scale,
+                        use_rope, interpret)
+
+    def ref(xf, gq, bq, gk, bk, gv, bv, wq, wk, wv, wp, bp):
+        return _reference(xf, ((gq, bq), (gk, bk), (gv, bv)), wq, wk, wv,
+                          wp, bp, height, width, pairing, head_dim, scale,
+                          use_rope)
+
+    def fwd(*args):
+        return op(*args), args
+
+    def bwd(residuals, g):
+        _, vjp = jax.vjp(ref, *residuals)
+        return vjp(g)
+
+    op.defvjp(fwd, bwd)
+    return op
+
+
+def supported(n: int, c: int, head_dim: int, dtype) -> bool:
+    """Dispatch predicate: shapes this kernel handles well on TPU."""
+    return (n <= _MAX_N and n % 256 == 0 and head_dim % 4 == 0
+            and c % head_dim == 0 and head_dim <= 128
+            and dtype == jnp.bfloat16)
+
+
+def fused_attention_sublayer(xf, ln_params, wq, wk, wv, wp, bp,
+                             height, width, pairing="reference",
+                             head_dim=64, use_rope=True,
+                             interpret: bool = False):
+    """Full attention sublayer on token input xf [B, N, C] -> [B, N, C].
+
+    ln_params: ((gq, bq), (gk, bk), (gv, bv)) LayerNorm affines, fp32 [C].
+    wq/wk/wv: bias-free [C, C]; wp/bp: output projection [C, C], [C].
+    """
+    n, c = xf.shape[1], xf.shape[2]
+    scale = head_dim ** -0.5
+    (gq, bq), (gk, bk), (gv, bv) = ln_params
+    if not supported(n, c, head_dim, xf.dtype) and not interpret:
+        return _reference(xf, ln_params, wq, wk, wv, wp, bp, height, width,
+                          pairing, head_dim, scale, use_rope)
+    op = _make_op(height, width, pairing, head_dim, float(scale),
+                  bool(use_rope), bool(interpret))
+    return op(xf, gq, bq, gk, bk, gv, bv, wq, wk, wv, wp, bp)

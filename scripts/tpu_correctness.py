@@ -88,6 +88,22 @@ def main():
         e = rel_err(out, ref)
         check(f"small-attn N={n}", e < 2e-2, f"rel_err={e:.2e}")
 
+    # 2c. Fused attention sublayer (LN trio + QKV + RoPE + attn + proj in
+    # one kernel) vs the composable module path at the stage-3/4 shapes.
+    from deepl_project_tpu.ops.attention import AttentionRoPE
+
+    for s, c in [(32, 768), (16, 1536)]:
+        hd = 64
+        x = jax.random.normal(jax.random.fold_in(rng, s),
+                              (2, s, s, c), jnp.bfloat16)
+        mod_f = AttentionRoPE(c, head_dim=hd, impl="fused")
+        mod_x = AttentionRoPE(c, head_dim=hd, impl="xla")
+        p = mod_x.init({"params": rng}, x)["params"]
+        out_f = jax.jit(lambda p, x: mod_f.apply({"params": p}, x))(p, x)
+        out_x = jax.jit(lambda p, x: mod_x.apply({"params": p}, x))(p, x)
+        e = rel_err(out_f, out_x)
+        check(f"fused sublayer {s}x{s} c{c}", e < 2e-2, f"rel_err={e:.2e}")
+
     # 3. Dispatch bands: auto / auto_train vs explicit XLA on TPU.
     for impl in ("auto", "auto_train"):
         for n, h in [(1024, 12), (4096, 6)]:

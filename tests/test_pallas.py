@@ -117,3 +117,83 @@ def test_small_attention_backward_matches_xla(rng):
     for a, b2 in zip(g1, g2):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b2),
                                    rtol=1e-3, atol=1e-4)
+
+
+def test_fused_attention_sublayer_matches_module(rng):
+    # The fused sublayer kernel (LN trio + QKV + RoPE + attention + proj)
+    # must reproduce the standard AttentionRoPE module path from the SAME
+    # parameter tree (interpret mode runs the real kernel logic on CPU).
+    from deepl_project_tpu.ops.attention import AttentionRoPE
+    from deepl_project_tpu.ops.pallas.fused_attention_block import (
+        fused_attention_sublayer)
+
+    b, h, w, c, hd = 2, 16, 16, 128, 32
+    x = jax.random.normal(rng, (b, h, w, c), jnp.float32)
+    mod = AttentionRoPE(c, head_dim=hd, dtype=jnp.float32)
+    params = mod.init({"params": rng}, x)["params"]
+    ref = mod.apply({"params": params}, x)
+
+    ln = tuple((params[f"norm_{t}"]["scale"], params[f"norm_{t}"]["bias"])
+               for t in "qkv")
+    out = fused_attention_sublayer(
+        x.reshape(b, h * w, c), ln,
+        params["to_q"]["kernel"], params["to_k"]["kernel"],
+        params["to_v"]["kernel"], params["proj"]["kernel"],
+        params["proj"]["bias"], h, w, pairing="reference", head_dim=hd,
+        use_rope=True, interpret=True).reshape(b, h, w, c)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-4, atol=2e-5)
+
+
+def test_fused_attention_sublayer_standard_pairing_and_groups(rng):
+    # 8 heads force multiple head groups through the grid accumulation path;
+    # 'standard' pairing exercises the alternate rope tables.
+    from deepl_project_tpu.ops.attention import AttentionRoPE
+    from deepl_project_tpu.ops.pallas import fused_attention_block as fab
+
+    b, h, w, c, hd = 1, 16, 16, 128, 16
+    x = jax.random.normal(rng, (b, h, w, c), jnp.float32)
+    mod = AttentionRoPE(c, head_dim=hd, rope_pairing="standard",
+                        dtype=jnp.float32)
+    params = mod.init({"params": rng}, x)["params"]
+    ref = mod.apply({"params": params}, x)
+    ln = tuple((params[f"norm_{t}"]["scale"], params[f"norm_{t}"]["bias"])
+               for t in "qkv")
+    out = fab.fused_attention_sublayer(
+        x.reshape(b, h * w, c), ln,
+        params["to_q"]["kernel"], params["to_k"]["kernel"],
+        params["to_v"]["kernel"], params["proj"]["kernel"],
+        params["proj"]["bias"], h, w, pairing="standard", head_dim=hd,
+        use_rope=True, interpret=True).reshape(b, h, w, c)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-4, atol=2e-5)
+
+
+def test_fused_attention_sublayer_backward(rng):
+    # custom_vjp backward (differentiates the XLA composition).
+    from deepl_project_tpu.ops.pallas import fused_attention_block as fab
+
+    b, h, w, c, hd = 1, 16, 16, 64, 16
+    n = h * w
+    keys = jax.random.split(rng, 6)
+    x = jax.random.normal(keys[0], (b, n, c), jnp.float32)
+    wq, wk, wv, wp = (jax.random.normal(k2, (c, c)) * 0.05
+                      for k2 in keys[1:5])
+    bp = jnp.zeros((c,))
+    ln = tuple((jnp.ones((c,)), jnp.zeros((c,))) for _ in range(3))
+
+    def loss_fused(x, wq):
+        out = fab.fused_attention_sublayer(
+            x, ln, wq, wk, wv, wp, bp, h, w, head_dim=hd, interpret=True)
+        return jnp.sum(out ** 2)
+
+    def loss_ref(x, wq):
+        out = fab._reference(x, ln, wq, wk, wv, wp, bp, h, w, "reference",
+                             hd, hd ** -0.5, True)
+        return jnp.sum(out ** 2)
+
+    g1 = jax.grad(loss_fused, argnums=(0, 1))(x, wq)
+    g2 = jax.grad(loss_ref, argnums=(0, 1))(x, wq)
+    for a, b2 in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b2),
+                                   rtol=1e-3, atol=1e-4)
