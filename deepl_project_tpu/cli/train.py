@@ -150,15 +150,17 @@ def main(argv=None):
         mesh_model=args.mesh_model, param_sharding=args.param_sharding,
         mu_dtype=args.mu_dtype, optimizer=args.optimizer)
 
-    synthetic_sources = ("synthetic", "shapes")
-    if args.data not in synthetic_sources and not args.data.startswith("hf:"):
-        import os as _os
+    import os as _os
 
-        workers = (min(_os.cpu_count() or 1, 16) if args.num_workers < 0
-                   else args.num_workers)
-        extra = {"repeat": True, "num_workers": workers}
-    else:
+    workers = (min(_os.cpu_count() or 1, 16) if args.num_workers < 0
+               else args.num_workers)
+    synthetic_sources = ("synthetic", "shapes")
+    if args.data in synthetic_sources:
         extra = {"num_samples": 10 ** 9}
+    elif args.data.startswith("hf:"):
+        extra = {"num_workers": workers}  # streaming: pipelined decode
+    else:
+        extra = {"repeat": True, "num_workers": workers}
     source = make_dataset(args.data, resolution=args.resolution, **extra)
 
     # VF teacher (reference stage-1 default is vf=0.1, patched

@@ -199,15 +199,37 @@ def coco_dataset(root: str, resolution: int = 256,
             return
 
 
+def _pipelined_map(fn, iterable, num_workers: int) -> Iterator:
+    """Order-preserving thread-pool map with a BOUNDED in-flight window —
+    safe on unbounded streams (ThreadPoolExecutor.map would submit the whole
+    iterable eagerly). PIL decode/resize releases the GIL, so threads give
+    real parallelism here."""
+    from collections import deque
+    from concurrent.futures import ThreadPoolExecutor
+
+    depth = num_workers * 2
+    with ThreadPoolExecutor(max_workers=num_workers) as ex:
+        window = deque()
+        for item in iterable:
+            window.append(ex.submit(fn, item))
+            if len(window) >= depth:
+                yield window.popleft().result()
+        while window:
+            yield window.popleft().result()
+
+
 def hf_streaming_dataset(name: str = "evanarlian/imagenet_1k_resized_256",
                          split: str = "train", resolution: int = 256,
                          shuffle_buffer: int = 10_000, seed: int = 42,
                          shard_index: int | None = None,
                          num_shards: int | None = None,
-                         with_labels: bool = False) -> Iterator:
+                         with_labels: bool = False,
+                         num_workers: int = 0) -> Iterator:
     """HF streaming ImageNet with rank sharding + buffered shuffle
     (ref: train_2.py:184-188). Requires network access to the HF hub; callers
-    should fall back to another source when offline."""
+    should fall back to another source when offline. ``num_workers`` decodes
+    in a bounded thread-pool pipeline (the reference's DataLoader-worker
+    analogue for the streaming path, ref: train_2.py:138-161)."""
     from datasets import load_dataset  # lazy: heavy import
 
     ds = load_dataset(name, split=split, streaming=True)
@@ -215,12 +237,17 @@ def hf_streaming_dataset(name: str = "evanarlian/imagenet_1k_resized_256",
         ds = ds.shard(num_shards=num_shards, index=shard_index or 0)
     if shuffle_buffer:
         ds = ds.shuffle(seed=seed, buffer_size=shuffle_buffer)
-    for example in ds:
+
+    def decode(example):
         img = example.get("image") or example.get("img")
         if img is None:
-            continue
+            return None
         out = preprocess_image(img, resolution)
-        yield (out, int(example.get("label", -1))) if with_labels else out
+        return (out, int(example.get("label", -1))) if with_labels else out
+
+    it = (_pipelined_map(decode, ds, num_workers) if num_workers > 0
+          else map(decode, ds))
+    return (s for s in it if s is not None)
 
 
 def _with_dummy_labels(it: Iterator[np.ndarray]) -> Iterator:
@@ -244,7 +271,7 @@ def make_dataset(source: str, resolution: int = 256,
         it = fn(resolution, **kw)
         return _with_dummy_labels(it) if with_labels else it
     if source.startswith("hf:"):
-        kw.pop("num_workers", None)
+        kw.pop("repeat", None)
         return hf_streaming_dataset(source[3:], resolution=resolution,
                                     with_labels=with_labels, **kw)
     if os.path.isdir(os.path.join(source, "annotations")):

@@ -227,3 +227,92 @@ def test_coco_parallel_and_repeat(tmp_path):
     it = coco_dataset(str(tmp_path), resolution=8, num_workers=2, repeat=True)
     twice = [next(it) for _ in range(8)]  # repeats past one epoch
     np.testing.assert_array_equal(twice[0], twice[4])
+
+
+class _FakeStream:
+    """Stand-in for a datasets streaming split: shard/shuffle/iterate."""
+
+    def __init__(self, examples):
+        self.examples = examples
+        self.shard_args = None
+        self.shuffle_args = None
+
+    def shard(self, num_shards, index):
+        self.shard_args = (num_shards, index)
+        return _FakeStream(self.examples[index::num_shards])
+
+    def shuffle(self, seed, buffer_size):
+        self.shuffle_args = (seed, buffer_size)
+        return self  # deterministic for the test
+
+    def __iter__(self):
+        return iter(self.examples)
+
+
+def _install_fake_datasets(monkeypatch, stream):
+    import sys
+    import types
+
+    mod = types.ModuleType("datasets")
+    calls = {}
+
+    def load_dataset(name, split, streaming):
+        calls.update(name=name, split=split, streaming=streaming)
+        return stream
+
+    mod.load_dataset = load_dataset
+    monkeypatch.setitem(sys.modules, "datasets", mod)
+    return calls
+
+
+def _hf_examples(n):
+    from PIL import Image
+
+    out = []
+    for i in range(n):
+        arr = (np.random.RandomState(i).rand(12, 12, 3) * 255).astype(np.uint8)
+        out.append({"image": Image.fromarray(arr), "label": i % 3})
+    return out
+
+
+def test_hf_streaming_dataset_decodes_and_labels(monkeypatch):
+    from deepl_project_tpu.data.datasets import hf_streaming_dataset
+
+    stream = _FakeStream(_hf_examples(6) + [{"label": 9}])  # one imageless
+    calls = _install_fake_datasets(monkeypatch, stream)
+    items = list(hf_streaming_dataset("some/name", resolution=8,
+                                      shuffle_buffer=4, with_labels=True))
+    assert calls == {"name": "some/name", "split": "train", "streaming": True}
+    assert stream.shuffle_args == (42, 4)
+    assert len(items) == 6  # the imageless example is skipped
+    for img, label in items:
+        assert img.shape == (8, 8, 3) and img.dtype == np.float32
+        assert 0 <= img.min() and img.max() <= 1.0
+    assert [l for _, l in items] == [i % 3 for i in range(6)]
+
+
+def test_hf_streaming_dataset_shards_and_parallel_decode(monkeypatch):
+    from deepl_project_tpu.data.datasets import hf_streaming_dataset
+
+    examples = _hf_examples(8)
+    _install_fake_datasets(monkeypatch, _FakeStream(examples))
+    serial = list(hf_streaming_dataset("d", resolution=8, shuffle_buffer=0,
+                                       num_shards=2, shard_index=1))
+    assert len(serial) == 4  # rank-sharded stream
+
+    _install_fake_datasets(monkeypatch, _FakeStream(examples))
+    parallel = list(hf_streaming_dataset("d", resolution=8, shuffle_buffer=0,
+                                         num_shards=2, shard_index=1,
+                                         num_workers=3))
+    assert len(parallel) == len(serial)
+    for a, b in zip(serial, parallel):
+        np.testing.assert_array_equal(a, b)  # order preserved
+
+
+def test_make_dataset_hf_passthrough(monkeypatch):
+    from deepl_project_tpu.data.datasets import make_dataset
+
+    _install_fake_datasets(monkeypatch, _FakeStream(_hf_examples(3)))
+    items = list(make_dataset("hf:org/name", resolution=8, shuffle_buffer=0,
+                              num_workers=2))
+    assert len(items) == 3 and items[0].shape == (8, 8, 3)
