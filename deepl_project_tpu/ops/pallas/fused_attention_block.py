@@ -17,22 +17,22 @@ either pairing, scaled fp32 softmax, biased output projection), with the
 same bf16-in/fp32-accumulate matmul semantics as the unfused flax path.
 
 Design notes:
-- Grid (B, head_groups). The x block's index map is constant in the inner
-  (head-group) axis so Pallas keeps it resident; weight column/row slices
-  stream per group. A fp32 [N, C] scratch accumulates the per-group output
-  projection partials (exact K-split of the proj matmul), emitted once on
-  the last group. This bounds VMEM for wide stages (c1536 at 16px would
-  need 19 MB of full QKV+proj weights — per-group slices fit easily).
+- Grid (B, head_groups); group width is a multiple of 128 lanes (Mosaic's
+  block-divisibility rule) or the full channel width. The x block's index
+  map is constant in the inner (head-group) axis so Pallas keeps it
+  resident; weight column/row slices stream per group. A fp32 [N, C]
+  scratch accumulates the per-group output-projection partials (exact
+  K-split of the proj matmul), emitted once on the last group.
 - RoPE without lane shuffles: the q/k weight COLUMNS are pre-permuted per
   head (even pair-entries first, odd second), so the rotation is pure
   elementwise arithmetic on contiguous [N, hd/2] halves. Attention is
   invariant to a per-head channel permutation applied to both q and k; v
   and the output stay in the original layout, so results are unchanged.
-- The per-head attention output overwrites that head's slice of the q
-  buffer (q is fully consumed first) — no extra [N, hg] buffer.
 - The LN trio shares one normalization (stats depend only on x); each
   branch applies its own affine before its projection, like the fuse_qkv
-  rewrite (attention.py:178-223) — exact up to fp reassociation.
+  rewrite (attention.py:178-223) — exact up to fp reassociation. The
+  affine+matmul runs in 256-row chunks so no full-width [N, C] temp is
+  live beyond the cached xhat.
 
 Forward-only: the custom VJP differentiates the XLA composition below
 (`_reference`), which is what training uses anyway ('auto_train' never
@@ -57,9 +57,9 @@ def _kernel(x_ref, wq_ref, wk_ref, wv_ref, wp_ref,
             gq_ref, bq_ref, gk_ref, bk_ref, gv_ref, bv_ref, bp_ref,
             ca_ref, sa_ref, cb_ref, sb_ref,
             o_ref,
-            xhat_ref, xt_ref, q_ref, k_ref, v_ref, acc_ref,
+            xhat_ref, q_ref, k_ref, v_ref, acc_ref,
             *, group_heads: int, head_dim: int, scale: float, n_groups: int,
-            q_chunk: int, use_rope: bool):
+            row_chunk: int, use_rope: bool):
     hg = pl.program_id(1)
     n = x_ref.shape[1]
     f32 = jnp.float32
@@ -74,52 +74,59 @@ def _kernel(x_ref, wq_ref, wk_ref, wv_ref, wp_ref,
                         ).astype(xhat_ref.dtype)
         acc_ref[...] = jnp.zeros(acc_ref.shape, acc_ref.dtype)
 
-    xhat32 = xhat_ref[...].astype(f32)
+    # Per-branch affine + projection, in row chunks (bounds live temps).
     for g_ref, b_ref, w_ref, dst_ref in (
             (gq_ref, bq_ref, wq_ref, q_ref),
             (gk_ref, bk_ref, wk_ref, k_ref),
             (gv_ref, bv_ref, wv_ref, v_ref)):
-        xt = (xhat32 * g_ref[0].astype(f32)
-              + b_ref[0].astype(f32)).astype(xt_ref.dtype)
-        xt_ref[...] = xt
-        dst_ref[...] = jax.lax.dot(
-            xt_ref[...], w_ref[...],
-            preferred_element_type=f32).astype(dst_ref.dtype)
+        gvec = g_ref[0].astype(f32)
+        bvec = b_ref[0].astype(f32)
+        w = w_ref[...]
+        for r0 in range(0, n, row_chunk):
+            xt = (xhat_ref[r0:r0 + row_chunk].astype(f32) * gvec
+                  + bvec).astype(xhat_ref.dtype)
+            dst_ref[r0:r0 + row_chunk] = jax.lax.dot(
+                xt, w, preferred_element_type=f32).astype(dst_ref.dtype)
 
     hd2 = head_dim // 2
     if use_rope:
-        ca = ca_ref[...]  # [N, hd/2] fp32
-        sa = sa_ref[...]
-        cb = cb_ref[...]
-        sb = sb_ref[...]
-        for h_i in range(group_heads):
-            lo = h_i * head_dim
-            for ref in (q_ref, k_ref):
-                e = ref[:, lo:lo + hd2].astype(f32)
-                o = ref[:, lo + hd2:lo + head_dim].astype(f32)
-                ref[:, lo:lo + hd2] = (e * ca - o * sa).astype(ref.dtype)
-                ref[:, lo + hd2:lo + head_dim] = (
-                    e * sb + o * cb).astype(ref.dtype)
+        ca = ca_ref[...].astype(f32)  # [N, hd/2]
+        sa = sa_ref[...].astype(f32)
+        cb = cb_ref[...].astype(f32)
+        sb = sb_ref[...].astype(f32)
+        for ref in (q_ref, k_ref):
+            rot = []
+            full = ref[...]
+            for h_i in range(group_heads):
+                lo = h_i * head_dim
+                e = full[:, lo:lo + hd2].astype(f32)
+                o = full[:, lo + hd2:lo + head_dim].astype(f32)
+                rot.append(jnp.concatenate(
+                    [e * ca - o * sa, e * sb + o * cb],
+                    axis=1).astype(ref.dtype))
+            ref[...] = jnp.concatenate(rot, axis=1)
 
-    for h_i in range(group_heads):
-        sl = slice(h_i * head_dim, (h_i + 1) * head_dim)
-        kh = k_ref[:, sl]
-        vh = v_ref[:, sl]
-        for c0 in range(0, n, q_chunk):
-            qc = q_ref[c0:c0 + q_chunk, sl]
+    qs = q_ref[...]
+    ks = k_ref[...]
+    vs = v_ref[...]
+    wp = wp_ref[...]
+    # Row-chunked attention + projection: bounds the fp32 score block to
+    # [row_chunk, N] while the softmax stays exact (whole rows in VMEM).
+    for r0 in range(0, n, row_chunk):
+        outs = []
+        for h_i in range(group_heads):
+            sl = slice(h_i * head_dim, (h_i + 1) * head_dim)
             s = jax.lax.dot_general(
-                qc, kh, (((1,), (1,)), ((), ())),
-                preferred_element_type=f32) * scale  # [q_chunk, N]
+                qs[r0:r0 + row_chunk, sl], ks[:, sl], (((1,), (1,)), ((), ())),
+                preferred_element_type=f32) * scale  # [row_chunk, N]
             m = jnp.max(s, axis=-1, keepdims=True)
             p = jnp.exp(s - m)
-            p = (p / jnp.sum(p, axis=-1, keepdims=True)).astype(vh.dtype)
-            # q rows [c0:c0+q_chunk] of this head are consumed; reuse them
-            # as the attention-output store.
-            q_ref[c0:c0 + q_chunk, sl] = jnp.dot(
-                p, vh, preferred_element_type=f32).astype(q_ref.dtype)
-
-    acc_ref[...] += jax.lax.dot(q_ref[...], wp_ref[...],
-                                preferred_element_type=f32)
+            p = (p / jnp.sum(p, axis=-1, keepdims=True)).astype(vs.dtype)
+            outs.append(jnp.dot(p, vs[:, sl],
+                                preferred_element_type=f32).astype(vs.dtype))
+        og = jnp.concatenate(outs, axis=1) if len(outs) > 1 else outs[0]
+        acc_ref[r0:r0 + row_chunk] += jax.lax.dot(
+            og, wp, preferred_element_type=f32)
 
     @pl.when(hg == n_groups - 1)
     def _emit():
@@ -149,19 +156,22 @@ def _head_perm(num_heads: int, head_dim: int) -> np.ndarray:
 
 
 def _pick_group(num_heads: int, head_dim: int, n: int, c: int) -> int:
-    """Largest head-group size with the working set comfortably in VMEM."""
-    # Rough per-candidate VMEM bytes: x + xhat + xt (+out) [N,C] bf16, acc
-    # [N,C] fp32, weight slices (double-buffered) + q/k/v group buffers.
-    best = 1
+    """Largest head-group whose working set fits VMEM. Group width must be a
+    multiple of 128 lanes (Mosaic block divisibility) or the full width."""
+    best = 0
     for g in range(1, num_heads + 1):
         if num_heads % g:
             continue
         hgd = g * head_dim
-        fixed = n * c * 2 * 4 + n * c * 4  # x(db), xhat, xt/out, acc
-        wts = 2 * (4 * c * hgd * 2)        # 4 slices, double-buffered
-        bufs = 3 * n * hgd * 2
-        scores = min(n, 512) * n * 4
-        if fixed + wts + bufs + scores <= 13 * 1024 * 1024:
+        if hgd % 128 and hgd != c:
+            continue
+        # x (double-buffered) + xhat + out, acc fp32, per-group buffers,
+        # double-buffered weight slices, one chunked fp32 score block, tables.
+        est = (2 * n * c * 2 + n * c * 2 + n * c * 2 + n * c * 4
+               + 3 * n * hgd * 2 + 2 * 4 * c * hgd * 2
+               + min(n, 256) * n * 4 + 4 * n * (head_dim // 2) * 4
+               + 256 * c * 2)
+        if est <= 14 * 1024 * 1024:
             best = g
     return best
 
@@ -206,9 +216,13 @@ def _forward(xf, ln_params, wq, wk, wv, wp, bp, height, width,
     nh = c // head_dim
     dt = xf.dtype
     g = _pick_group(nh, head_dim, n, c)
+    if g == 0 and not interpret:
+        return _reference(xf, ln_params, wq, wk, wv, wp, bp, height, width,
+                          pairing, head_dim, scale, use_rope)
+    g = g or nh
     n_groups = nh // g
     hgd = g * head_dim
-    q_chunk = 512 if n % 512 == 0 else 256  # supported() guarantees n%256==0
+    row_chunk = 256 if n % 256 == 0 else n
 
     perm = _head_perm(nh, head_dim)
     wqp = wq[:, perm].astype(dt)
@@ -218,10 +232,8 @@ def _forward(xf, ln_params, wq, wk, wv, wp, bp, height, width,
     def row(v32):
         return v32.astype(jnp.float32).reshape(1, -1)
 
-    ln_rows = [row(t) for pair in ln_params for t in pair]
-    (gq, bq), (gk, bk), (gv, bv) = (
-        (ln_rows[0], ln_rows[1]), (ln_rows[2], ln_rows[3]),
-        (ln_rows[4], ln_rows[5]))
+    (gq, bq), (gk, bk), (gv, bv) = [
+        (row(gg), row(bb)) for gg, bb in ln_params]
 
     wspec_col = pl.BlockSpec((c, hgd), lambda i, j: (0, j),
                              memory_space=pltpu.VMEM)
@@ -236,7 +248,7 @@ def _forward(xf, ln_params, wq, wk, wv, wp, bp, height, width,
     out = pl.pallas_call(
         functools.partial(
             _kernel, group_heads=g, head_dim=head_dim, scale=float(scale),
-            n_groups=n_groups, q_chunk=q_chunk, use_rope=use_rope),
+            n_groups=n_groups, row_chunk=row_chunk, use_rope=use_rope),
         grid=(b, n_groups),
         in_specs=[xspec, wspec_col, wspec_col, wspec_col, wspec_row,
                   vec, vec, vec, vec, vec, vec, vec,
@@ -245,12 +257,16 @@ def _forward(xf, ln_params, wq, wk, wv, wp, bp, height, width,
         out_shape=jax.ShapeDtypeStruct((b, n, c), dt),
         scratch_shapes=[
             pltpu.VMEM((n, c), dt),            # xhat
-            pltpu.VMEM((n, c), dt),            # xt
-            pltpu.VMEM((n, hgd), dt),          # q (reused as attn out)
-            pltpu.VMEM((n, hgd), dt),          # k
-            pltpu.VMEM((n, hgd), dt),          # v
+            pltpu.VMEM((n, hgd), dt),          # q group
+            pltpu.VMEM((n, hgd), dt),          # k group
+            pltpu.VMEM((n, hgd), dt),          # v group
             pltpu.VMEM((n, c), jnp.float32),   # proj accumulator
         ],
+        # The stage-3 working set (x + xhat + acc + out at [1024, 768]) sits
+        # just above the compiler's default 16M scoped-vmem budget; v5e
+        # physical VMEM accommodates the ~17M peak.
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=24 * 1024 * 1024),
         interpret=interpret,
     )(xf, wqp, wkp, wv.astype(dt), wp.astype(dt),
       gq, bq, gk, bk, gv, bv, row(bp),
@@ -286,7 +302,8 @@ def supported(n: int, c: int, head_dim: int, dtype) -> bool:
     """Dispatch predicate: shapes this kernel handles well on TPU."""
     return (n <= _MAX_N and n % 256 == 0 and head_dim % 4 == 0
             and c % head_dim == 0 and head_dim <= 128
-            and dtype == jnp.bfloat16)
+            and dtype == jnp.bfloat16
+            and _pick_group(c // head_dim, head_dim, n, c) > 0)
 
 
 def fused_attention_sublayer(xf, ln_params, wq, wk, wv, wp, bp,
