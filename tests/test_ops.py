@@ -280,3 +280,20 @@ def test_fused_qkv_matches_separate_projections(rng):
     np.testing.assert_allclose(np.asarray(fused.apply(p_plain, x)),
                                np.asarray(plain.apply(p_plain, x)),
                                rtol=1e-4, atol=1e-5)
+
+
+def test_conv_ffn_fold_output_matches_literal(rng):
+    # (y + z@W2)@Wout == y@Wout + z@(W2@Wout) + folded biases, same params.
+    from deepl_project_tpu.ops.ffn import ConvFFN
+
+    x = jax.random.normal(rng, (2, 8, 8, 32), jnp.float32)
+    lit = ConvFFN(32, mlp_ratio=1.0, fold_output=False, dtype=jnp.float32)
+    fold = ConvFFN(32, mlp_ratio=1.0, fold_output=True, dtype=jnp.float32)
+    params = lit.init({"params": rng}, x)["params"]
+    ref = lit.apply({"params": params}, x)
+    out = fold.apply({"params": params}, x)
+    assert jax.tree_util.tree_structure(
+        fold.init({"params": rng}, x)["params"]) == \
+        jax.tree_util.tree_structure(params)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-5, atol=2e-6)
