@@ -248,6 +248,40 @@ class AttentionRoPE(nn.Module):
                 use_rope=self.use_rope)
             return out.reshape(b, h, w, c)
 
+        # For longer token axes (stage-2 N=4096, 512/1024px inference) the
+        # whole-sublayer kernel's buffers exceed VMEM, but LN trio + QKV +
+        # RoPE still fuse into one row-blocked kernel; q/k come back in the
+        # per-head permuted layout (attention-invariant) with RoPE applied.
+        use_qkv_kernel = (
+            self.impl in ("auto", "fused")
+            and (self.dropout == 0.0 or deterministic)
+            and not self.fuse_qkv
+            and jax.default_backend() == "tpu"
+            and _ambient_axis_size(self.context_axis) == 1
+            and n % 256 == 0 and self.head_dim % 4 == 0
+            and c % self.head_dim == 0 and self.dtype == jnp.bfloat16)
+        if use_qkv_kernel:
+            from .pallas.fused_attention_block import fused_qkv_rope_op
+
+            ln = tuple(_LNParams(self.dim, self.param_dtype,
+                                 name=f"norm_{t}")() for t in "qkv")
+            wq_, wk_, wv_ = (_DenseParams(self.dim, self.dim,
+                                          self.param_dtype,
+                                          name=f"to_{t}")() for t in "qkv")
+            q, k, v = fused_qkv_rope_op(
+                xf, ln, wq_, wk_, wv_, h, w, pairing=self.rope_pairing,
+                head_dim=self.head_dim, use_rope=self.use_rope)
+            q = q.reshape(b, n, num_heads, self.head_dim)
+            k = k.reshape(b, n, num_heads, self.head_dim)
+            v = v.reshape(b, n, num_heads, self.head_dim)
+            out = core_attention(q, k, v, scale, impl=self.impl)
+            out = out.reshape(b, n, c)
+            out = nn.Dense(self.dim, use_bias=True, dtype=self.dtype,
+                           param_dtype=self.param_dtype,
+                           kernel_init=nn.initializers.truncated_normal(0.02),
+                           name="proj")(out)
+            return out.reshape(b, h, w, c)
+
         if self.fuse_qkv:
             ln = [_LNParams(self.dim, self.param_dtype, name=f"norm_{t}")()
                   for t in "qkv"]

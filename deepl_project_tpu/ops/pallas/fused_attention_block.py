@@ -298,6 +298,167 @@ def _make_op(height, width, pairing, head_dim, scale, use_rope, interpret):
     return op
 
 
+def _qkv_rope_kernel(x_ref, wq_ref, wk_ref, wv_ref,
+                     gq_ref, bq_ref, gk_ref, bk_ref, gv_ref, bv_ref,
+                     ca_ref, sa_ref, cb_ref, sb_ref,
+                     q_ref, k_ref, v_ref,
+                     *, num_heads: int, head_dim: int, use_rope: bool):
+    f32 = jnp.float32
+    x32 = x_ref[0].astype(f32)  # [rows, C]
+    mean = jnp.mean(x32, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(x32 - mean), axis=-1, keepdims=True)
+    xhat = (x32 - mean) * jax.lax.rsqrt(var + _LN_EPS)
+
+    hd2 = head_dim // 2
+    if use_rope:
+        ca = ca_ref[...].astype(f32)
+        sa = sa_ref[...].astype(f32)
+        cb = cb_ref[...].astype(f32)
+        sb = sb_ref[...].astype(f32)
+    for g_ref, b_ref, w_ref, dst_ref, rope in (
+            (gq_ref, bq_ref, wq_ref, q_ref, True),
+            (gk_ref, bk_ref, wk_ref, k_ref, True),
+            (gv_ref, bv_ref, wv_ref, v_ref, False)):
+        xt = (xhat * g_ref[0].astype(f32)
+              + b_ref[0].astype(f32)).astype(dst_ref.dtype)
+        t = jax.lax.dot(xt, w_ref[...], preferred_element_type=f32
+                        ).astype(dst_ref.dtype)
+        if use_rope and rope:
+            rot = []
+            for h_i in range(num_heads):
+                lo = h_i * head_dim
+                e = t[:, lo:lo + hd2].astype(f32)
+                o = t[:, lo + hd2:lo + head_dim].astype(f32)
+                rot.append(jnp.concatenate(
+                    [e * ca - o * sa, e * sb + o * cb],
+                    axis=1).astype(t.dtype))
+            t = jnp.concatenate(rot, axis=1)
+        dst_ref[0] = t
+
+
+def fused_qkv_rope(xf, ln_params, wq, wk, wv, height, width,
+                   pairing="reference", head_dim=64, use_rope=True,
+                   interpret: bool = False):
+    """LN trio + QKV projections + 2D RoPE in one row-blocked kernel.
+
+    For token axes too long for the whole-sublayer kernel (stage 2's N=4096
+    and 512/1024px inference): eliminates the three LN stat passes, the
+    separate q/k/v materialization and the fp32 RoPE pass. Returns
+    (q, k, v) each [B, N, C] with q/k in the per-head [evens|odds] PERMUTED
+    layout — attention cores are invariant to a consistent per-head channel
+    permutation of q and k, so callers feed them to any core directly and
+    must NOT re-apply RoPE.
+    """
+    b, n, c = xf.shape
+    nh = c // head_dim
+    dt = xf.dtype
+    rows = 512 if n % 512 == 0 else 256
+    perm = _head_perm(nh, head_dim)
+    wqp = wq[:, perm].astype(dt)
+    wkp = wk[:, perm].astype(dt)
+    ca, sa, cb, sb = _rope_tables(head_dim, height, width, pairing)
+
+    def row(v32):
+        return v32.astype(jnp.float32).reshape(1, -1)
+
+    (gq, bq), (gk, bk), (gv, bv) = [
+        (row(gg), row(bb)) for gg, bb in ln_params]
+
+    wspec = pl.BlockSpec((c, c), lambda i, j: (0, 0), memory_space=pltpu.VMEM)
+    vec = pl.BlockSpec((1, c), lambda i, j: (0, 0), memory_space=pltpu.VMEM)
+    tab = pl.BlockSpec((rows, head_dim // 2), lambda i, j: (j, 0),
+                       memory_space=pltpu.VMEM)
+    xspec = pl.BlockSpec((1, rows, c), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM)
+
+    shape = jax.ShapeDtypeStruct((b, n, c), dt)
+    q, k, v = pl.pallas_call(
+        functools.partial(_qkv_rope_kernel, num_heads=nh, head_dim=head_dim,
+                          use_rope=use_rope),
+        grid=(b, n // rows),
+        in_specs=[xspec, wspec, wspec, wspec,
+                  vec, vec, vec, vec, vec, vec,
+                  tab, tab, tab, tab],
+        out_specs=(xspec, xspec, xspec),
+        out_shape=(shape, shape, shape),
+        interpret=interpret,
+    )(xf, wqp, wkp, wv.astype(dt),
+      gq, bq, gk, bk, gv, bv, ca, sa, cb, sb)
+    return q, k, v
+
+
+@functools.lru_cache(maxsize=None)
+def _make_qkv_op(height, width, pairing, head_dim, use_rope, interpret):
+    @jax.custom_vjp
+    def op(xf, gq, bq, gk, bk, gv, bv, wq, wk, wv):
+        return fused_qkv_rope(
+            xf, ((gq, bq), (gk, bk), (gv, bv)), wq, wk, wv, height, width,
+            pairing, head_dim, use_rope, interpret)
+
+    def ref(xf, gq, bq, gk, bk, gv, bv, wq, wk, wv):
+        return qkv_rope_reference(
+            xf, ((gq, bq), (gk, bk), (gv, bv)), wq, wk, wv, height, width,
+            pairing, head_dim, use_rope)
+
+    def fwd(*args):
+        return op(*args), args
+
+    def bwd(residuals, g):
+        _, vjp = jax.vjp(ref, *residuals)
+        return vjp(g)
+
+    op.defvjp(fwd, bwd)
+    return op
+
+
+def fused_qkv_rope_op(xf, ln_params, wq, wk, wv, height, width,
+                      pairing="reference", head_dim=64, use_rope=True,
+                      interpret: bool = False):
+    """Differentiable wrapper: Pallas forward, XLA-composition backward."""
+    (gq, bq), (gk, bk), (gv, bv) = ln_params
+    op = _make_qkv_op(height, width, pairing, head_dim, bool(use_rope),
+                      bool(interpret))
+    return op(xf, gq, bq, gk, bk, gv, bv, wq, wk, wv)
+
+
+def qkv_rope_reference(xf, ln_params, wq, wk, wv, height, width,
+                       pairing="reference", head_dim=64, use_rope=True):
+    """XLA composition matching fused_qkv_rope INCLUDING the permuted q/k
+    layout (for the custom VJP and tests)."""
+    b, n, c = xf.shape
+    nh = c // head_dim
+    x32 = xf.astype(jnp.float32)
+    mean = jnp.mean(x32, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(x32 - mean), axis=-1, keepdims=True)
+    xhat = ((x32 - mean) * jax.lax.rsqrt(var + _LN_EPS)).astype(xf.dtype)
+    perm = _head_perm(nh, head_dim)
+    outs = []
+    for (g, bb), w, permute in zip(ln_params, (wq, wk, wv),
+                                   (True, True, False)):
+        wmat = w[:, perm] if permute else w
+        xt = (xhat.astype(jnp.float32) * g.astype(jnp.float32)
+              + bb.astype(jnp.float32)).astype(xf.dtype)
+        outs.append(jnp.dot(xt, wmat.astype(xf.dtype),
+                            preferred_element_type=jnp.float32).astype(xf.dtype))
+    q, k, v = outs
+    if use_rope:
+        ca, sa, cb, sb = _rope_tables(head_dim, height, width, pairing)
+        hd2 = head_dim // 2
+
+        def rot(t):
+            t4 = t.reshape(b, n, nh, head_dim).astype(jnp.float32)
+            e = t4[..., :hd2]
+            o = t4[..., hd2:]
+            out = jnp.concatenate(
+                [e * ca[None, :, None, :] - o * sa[None, :, None, :],
+                 e * sb[None, :, None, :] + o * cb[None, :, None, :]],
+                axis=-1)
+            return out.reshape(b, n, c).astype(t.dtype)
+
+        q, k = rot(q), rot(k)
+    return q, k, v
+
+
 def supported(n: int, c: int, head_dim: int, dtype) -> bool:
     """Dispatch predicate: shapes this kernel handles well on TPU."""
     return (n <= _MAX_N and n % 256 == 0 and head_dim % 4 == 0

@@ -197,3 +197,41 @@ def test_fused_attention_sublayer_backward(rng):
     for a, b2 in zip(g1, g2):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b2),
                                    rtol=1e-3, atol=1e-4)
+
+
+def test_fused_qkv_rope_matches_module(rng):
+    # q/k return permuted per head (attention-invariant); validate by
+    # running the attention core + proj on the kernel outputs and comparing
+    # with the full AttentionRoPE module from the same params.
+    from deepl_project_tpu.ops.attention import AttentionRoPE, xla_attention
+    from deepl_project_tpu.ops.pallas.fused_attention_block import (
+        fused_qkv_rope, qkv_rope_reference)
+
+    b, h, w, c, hd = 2, 16, 16, 128, 32
+    n, nh = h * w, c // hd
+    x = jax.random.normal(rng, (b, h, w, c), jnp.float32)
+    mod = AttentionRoPE(c, head_dim=hd, dtype=jnp.float32)
+    params = mod.init({"params": rng}, x)["params"]
+    ref = mod.apply({"params": params}, x)
+
+    ln = tuple((params[f"norm_{t}"]["scale"], params[f"norm_{t}"]["bias"])
+               for t in "qkv")
+    args = (x.reshape(b, n, c), ln, params["to_q"]["kernel"],
+            params["to_k"]["kernel"], params["to_v"]["kernel"], h, w)
+    q, k, v = fused_qkv_rope(*args, head_dim=hd, interpret=True)
+    qr, kr, vr = qkv_rope_reference(*args, head_dim=hd)
+    np.testing.assert_allclose(np.asarray(q), np.asarray(qr),
+                               rtol=2e-4, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(k), np.asarray(kr),
+                               rtol=2e-4, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(v), np.asarray(vr),
+                               rtol=2e-4, atol=2e-5)
+
+    def heads(t):
+        return t.reshape(b, n, nh, hd)
+
+    att = xla_attention(heads(q), heads(k), heads(v), hd ** -0.5)
+    out = (att.reshape(b, n, c) @ params["proj"]["kernel"]
+           + params["proj"]["bias"]).reshape(b, h, w, c)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-4, atol=2e-5)
