@@ -27,7 +27,8 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 # Swept 8/16/32/64 on v5e: 26.6/32.8/40.8/42.2 img/s pre-optimization; with
 # the Pallas mid-band dispatch + fused resample paths, 64 regressed to 44.65
-# vs 46.35 at 32 — 32 is optimal. Override with BENCH_BATCH for sweeps.
+# vs 46.35 at 32; re-swept after the round-2 fused sublayer/FFN-fold/convT
+# work: 51.0 at 64 vs 51.9 at 32 — 32 stays optimal. BENCH_BATCH overrides.
 BATCH = int(os.environ.get("BENCH_BATCH", "32"))
 RES = int(os.environ.get("BENCH_RES", "256"))
 VARIANT = "large"
