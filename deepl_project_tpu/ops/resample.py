@@ -168,6 +168,47 @@ class _FusedUpConv(nn.Module):
         return y + bias.astype(self.dtype)
 
 
+class _FusedUpDC(nn.Module):
+    """Exact fusion of 1x1 conv to 4*C_out + pixel-shuffle(2) as ONE stride-2
+    TRANSPOSED conv (the mirror of _FusedDownDC).
+
+    depth_to_space sends input channel o*4 + i*2 + j to output channel o at
+    spatial offset (i, j), so dc[2a+i, 2b+j, o] = x[a, b] @ W[:, o*4+i*2+j].
+    As an lhs-dilated conv (dilation 2, kernel 2x2, pad 1): out[p] =
+    sum_u xd[p+u-1] k[u] with xd[2a]=x[a], so phase i picks tap u = 1-i and
+    k[u, v, :, o] = W[:, o*4 + (1-u)*2 + (1-v)].  The per-phase bias
+    b[o*4+i*2+j] is added via a broadcast over the (even,odd) row/col split —
+    no materialized [H/2,W/2,4C] intermediate, no transpose chain.  Param
+    shapes/names match the 1x1 conv exactly, so checkpoints are unaffected.
+    """
+
+    in_channels: int
+    out_channels: int
+    dtype: jnp.dtype = jnp.bfloat16
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        co = self.out_channels
+        kernel = self.param("kernel", _conv_kernel_init(),
+                            (1, 1, self.in_channels, 4 * co),
+                            self.param_dtype)
+        bias = self.param("bias", nn.initializers.zeros, (4 * co,),
+                          self.param_dtype)
+        w = kernel.astype(self.dtype).reshape(self.in_channels, co, 2, 2)
+        # k[u, v, ci, o] = W[ci, o*4 + (1-u)*2 + (1-v)]
+        k2 = w[:, :, ::-1, ::-1].transpose(2, 3, 0, 1)  # [2,2,Ci,Co]
+        y = jax.lax.conv_general_dilated(
+            x.astype(self.dtype), k2, window_strides=(1, 1),
+            padding=((1, 1), (1, 1)), lhs_dilation=(2, 2),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        b, h2, w2, _ = y.shape
+        btile = bias.astype(self.dtype).reshape(co, 2, 2).transpose(1, 2, 0)
+        y = y.reshape(b, h2 // 2, 2, w2 // 2, 2, co)
+        y = y + btile[None, None, :, None, :, :]
+        return y.reshape(b, h2, w2, co)
+
+
 class Upsample(nn.Module):
     """Conv upsample x2 with information-preserving DC shortcut."""
 
@@ -177,6 +218,9 @@ class Upsample(nn.Module):
     # Exact fused nearest+conv main path (2.25x fewer FLOPs); disable to run
     # the literal reference op order.
     fuse_main: bool = True
+    # Exact fused DC path (single 2x2 s2 transposed conv); disable for the
+    # literal reference op order.
+    fuse_dc: bool = True
     dtype: jnp.dtype = jnp.bfloat16
     param_dtype: jnp.dtype = jnp.float32
 
@@ -196,7 +240,12 @@ class Upsample(nn.Module):
         y = nn.silu(y)
         y = conv(self.out_channels, (3, 3), padding=((1, 1), (1, 1)), name="main_1")(y)
         if self.use_dc_path:
-            dc = conv(self.out_channels * 4, (1, 1), name="dc_conv")(x)
-            dc = depth_to_space(dc, 2)
+            if self.fuse_dc:
+                dc = _FusedUpDC(self.in_channels, self.out_channels,
+                                dtype=self.dtype, param_dtype=self.param_dtype,
+                                name="dc_conv")(x)
+            else:
+                dc = conv(self.out_channels * 4, (1, 1), name="dc_conv")(x)
+                dc = depth_to_space(dc, 2)
             y = y + dc
         return y

@@ -15,6 +15,7 @@ from deepl_project_tpu.ops import (AttentionRoPE, ConvFFN, Downsample, GroupNorm
                                    depth_to_space, rope2d_tables, space_to_depth,
                                    xla_attention)
 from deepl_project_tpu.ops.attention import xla_attention_chunked
+from flax import linen as nn
 
 F32 = dict(dtype=jnp.float32, param_dtype=jnp.float32)
 
@@ -297,3 +298,32 @@ def test_conv_ffn_fold_output_matches_literal(rng):
         jax.tree_util.tree_structure(params)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=2e-5, atol=2e-6)
+
+
+def test_fused_upsample_dc_matches_reference_op_order(rng):
+    # The 2x2 stride-2 TRANSPOSED conv DC path must equal 1x1 conv +
+    # pixel-shuffle up to fp reorder (identical params, identical math).
+    fused = Upsample(24, 16, fuse_dc=True, fuse_main=False, **F32)
+    plain = Upsample(24, 16, fuse_dc=False, fuse_main=False, **F32)
+    x = jax.random.normal(rng, (2, 8, 8, 24))
+    p = plain.init(rng, x)
+    np.testing.assert_allclose(np.asarray(fused.apply(p, x)),
+                               np.asarray(plain.apply(p, x)),
+                               rtol=1e-5, atol=1e-6)
+
+
+@pytest.mark.parametrize("ci,co", [(3, 24), (32, 24), (24, 3), (48, 40)])
+def test_thin_conv_matches_native(rng, ci, co):
+    # im2col (thin input), tap-major (thin output), and the native fallback
+    # must all equal nn.Conv with the same params (fp reassociation only).
+    from deepl_project_tpu.ops.thin_conv import ThinConv3x3
+
+    thin = ThinConv3x3(ci, co, **F32)
+    ref = nn.Conv(co, (3, 3), padding=((1, 1), (1, 1)), **F32)
+    x = jax.random.normal(rng, (2, 9, 9, ci))
+    p = thin.init(rng, x)
+    y_thin = thin.apply(p, x)
+    y_ref = ref.apply(p, x)
+    assert y_thin.shape == y_ref.shape
+    np.testing.assert_allclose(np.asarray(y_thin), np.asarray(y_ref),
+                               rtol=1e-5, atol=1e-5)
