@@ -252,14 +252,15 @@ class AttentionRoPE(nn.Module):
         # whole-sublayer kernel's buffers exceed VMEM, but LN trio + QKV +
         # RoPE still fuse into one row-blocked kernel; q/k come back in the
         # per-head permuted layout (attention-invariant) with RoPE applied.
+        from .pallas.fused_attention_block import qkv_supported as _qkv_ok
+
         use_qkv_kernel = (
             self.impl in ("auto", "fused")
             and (self.dropout == 0.0 or deterministic)
             and not self.fuse_qkv
             and jax.default_backend() == "tpu"
             and _ambient_axis_size(self.context_axis) == 1
-            and n % 256 == 0 and self.head_dim % 4 == 0
-            and c % self.head_dim == 0 and self.dtype == jnp.bfloat16)
+            and _qkv_ok(n, c, self.head_dim, self.dtype))
         if use_qkv_kernel:
             from .pallas.fused_attention_block import fused_qkv_rope_op
 

@@ -352,7 +352,8 @@ def fused_qkv_rope(xf, ln_params, wq, wk, wv, height, width,
     b, n, c = xf.shape
     nh = c // head_dim
     dt = xf.dtype
-    rows = 512 if n % 512 == 0 else 256
+    rows = _qkv_rows(n, c, head_dim)
+    assert rows, (n, c)  # callers gate on qkv_supported()
     perm = _head_perm(nh, head_dim)
     wqp = wq[:, perm].astype(dt)
     wkp = wk[:, perm].astype(dt)
@@ -381,10 +382,41 @@ def fused_qkv_rope(xf, ln_params, wq, wk, wv, height, width,
                   tab, tab, tab, tab],
         out_specs=(xspec, xspec, xspec),
         out_shape=(shape, shape, shape),
+        # Wide-channel stages (c=1536 at 512px+) exceed the compiler's 16M
+        # default scoped-vmem budget: the three [C, C] weight buffers alone
+        # are 14.2 MB bf16 at c=1536.  Same raise as the sublayer kernel.
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=26 * 1024 * 1024),
         interpret=interpret,
     )(xf, wqp, wkp, wv.astype(dt),
       gq, bq, gk, bk, gv, bv, ca, sa, cb, sb)
     return q, k, v
+
+
+def _qkv_rows(n: int, c: int, head_dim: int) -> int:
+    """Largest row block whose working set fits the raised scoped-vmem
+    budget, 0 when even 256 rows do not fit (callers fall back to the XLA
+    composition). Budget terms: 3 [C,C] bf16 weight buffers (constant index
+    map — single-buffered), double-buffered x block + 3 output blocks, fp32
+    x32/LN temps, RoPE tables; ~25% headroom for Mosaic stack temps."""
+    for rows in (512, 256):
+        if n % rows:
+            continue
+        est = (3 * c * c * 2              # wq/wk/wv
+               + 2 * rows * c * 2         # x block, double-buffered
+               + 6 * rows * c * 2         # q/k/v blocks, double-buffered
+               + 2 * rows * c * 4         # fp32 x32 + one branch temp
+               + 8 * rows * (head_dim // 2) * 4)
+        if est <= 24 * 1024 * 1024:
+            return rows
+    return 0
+
+
+def qkv_supported(n: int, c: int, head_dim: int, dtype) -> bool:
+    """Dispatch predicate for fused_qkv_rope (mirrors supported())."""
+    return (n % 256 == 0 and head_dim % 4 == 0 and c % head_dim == 0
+            and head_dim <= 128 and dtype == jnp.bfloat16
+            and _qkv_rows(n, c, head_dim) > 0)
 
 
 @functools.lru_cache(maxsize=None)
