@@ -48,6 +48,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--warmup_uint8_inputs", action="store_true",
                    help="pre-compile for uint8 request payloads (the natural "
                         "decoded-image dtype; quarters the upload bytes)")
+    p.add_argument("--compile_cache_dir", default=None,
+                   help="Persistent XLA compile cache directory. A restarted "
+                        "server skips the multi-minute warmup compiles "
+                        "(bucket ladder hits the cache), so deploys restart "
+                        "warm.")
     p.add_argument("--platform", default=None, choices=["cpu", "tpu"],
                    help="force a JAX platform (the axon TPU plugin ignores "
                         "JAX_PLATFORMS; this sets it programmatically)")
@@ -73,6 +78,12 @@ def main(argv=None):
 
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
+    if args.compile_cache_dir:
+        import os
+
+        os.makedirs(args.compile_cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", args.compile_cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     import numpy as np
 
     from ..config import get_config

@@ -252,3 +252,13 @@ def test_warmup_non_pow2_max_batch():
     eng.warmup(16, ops=("decode",))
     batches = {k[3] for k in eng._compiled if k[0] == "decode"}
     assert 6 in batches  # the live non-pow2 bucket is warmed
+
+
+def test_serve_cli_compile_cache_flag(tmp_path):
+    # The flag must set JAX's persistent compile cache before the engine is
+    # built (warm-restart deploys; ROADMAP serving item).
+    from deepl_project_tpu.cli.serve import build_parser
+
+    args = build_parser().parse_args(
+        ["--compile_cache_dir", str(tmp_path / "cache")])
+    assert args.compile_cache_dir == str(tmp_path / "cache")
