@@ -69,7 +69,7 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, m_scr, l_scr, acc_scr,
         lse_ref[0, 0] = (m_scr[:] + jnp.log(l_scr[:]))[:, 0]
 
 
-def _flash_forward(q, k, v, scale, block_q, block_k):
+def _flash_forward(q, k, v, scale, block_q, block_k, vmem_limit_mb=None):
     """q,k,v: [BH, N, D] → (out [BH, N, D], lse [BH, N])."""
     bh, n, d = q.shape
     block_q = min(block_q, n)
@@ -81,6 +81,9 @@ def _flash_forward(q, k, v, scale, block_q, block_k):
     grid = (bh, q_blocks, kv_blocks)
     kernel = functools.partial(_flash_kernel, scale=scale, kv_blocks=kv_blocks)
     flops = 4 * n * n * d * bh  # 2 matmuls of 2*N*N*D each (per bh)
+    extra = ({} if vmem_limit_mb is None else dict(
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=vmem_limit_mb * 1024 * 1024)))
     return pl.pallas_call(
         kernel,
         grid=grid,
@@ -105,6 +108,7 @@ def _flash_forward(q, k, v, scale, block_q, block_k):
         cost_estimate=pl.CostEstimate(
             flops=flops, bytes_accessed=3 * bh * n * d * q.dtype.itemsize,
             transcendentals=bh * n * n),
+        **extra,
     )(q, k, v)
 
 
@@ -257,18 +261,18 @@ def attention_reference_chunked(q, k, v, scale, chunk=1024):
     return jnp.moveaxis(out, 0, 1).reshape(bh, n, d)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
-def _flash(q, k, v, scale, block_q, block_k):
-    out, _ = _flash_forward(q, k, v, scale, block_q, block_k)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+def _flash(q, k, v, scale, block_q, block_k, vmem_limit_mb):
+    out, _ = _flash_forward(q, k, v, scale, block_q, block_k, vmem_limit_mb)
     return out
 
 
-def _flash_fwd(q, k, v, scale, block_q, block_k):
-    out, lse = _flash_forward(q, k, v, scale, block_q, block_k)
+def _flash_fwd(q, k, v, scale, block_q, block_k, vmem_limit_mb):
+    out, lse = _flash_forward(q, k, v, scale, block_q, block_k, vmem_limit_mb)
     return out, (q, k, v, out, lse)
 
 
-def _flash_bwd(scale, block_q, block_k, res, g):
+def _flash_bwd(scale, block_q, block_k, vmem_limit_mb, res, g):
     q, k, v, out, lse = res
     return _flash_backward(q, k, v, out, lse, g, scale, block_q, block_k)
 
@@ -278,13 +282,16 @@ _flash.defvjp(_flash_fwd, _flash_bwd)
 
 def flash_attention(q: jax.Array, k: jax.Array, v: jax.Array, scale: float,
                     block_q: int = DEFAULT_BLOCK_Q,
-                    block_k: int = DEFAULT_BLOCK_K) -> jax.Array:
+                    block_k: int = DEFAULT_BLOCK_K,
+                    vmem_limit_mb: int | None = None) -> jax.Array:
     """Flash attention on [B, N, num_heads, head_dim] tensors (same layout as
-    ops.attention.xla_attention)."""
+    ops.attention.xla_attention). ``vmem_limit_mb`` raises the forward's
+    scoped-VMEM budget for block shapes beyond the 16 MB compiler default."""
     b, n, h, d = q.shape
 
     def fold(x):
         return x.transpose(0, 2, 1, 3).reshape(b * h, n, d)
 
-    out = _flash(fold(q), fold(k), fold(v), float(scale), block_q, block_k)
+    out = _flash(fold(q), fold(k), fold(v), float(scale), block_q, block_k,
+                 vmem_limit_mb)
     return out.reshape(b, h, n, d).transpose(0, 2, 1, 3)

@@ -327,3 +327,19 @@ def test_thin_conv_matches_native(rng, ci, co):
     assert y_thin.shape == y_ref.shape
     np.testing.assert_allclose(np.asarray(y_thin), np.asarray(y_ref),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_qkv_kernel_vmem_gate():
+    # The fused LN+QKV+RoPE kernel must refuse shapes whose weight/block
+    # working set exceeds the scoped-VMEM budget (512px stage4 regression:
+    # c=1536 N=1024 needs 256-row blocking; c=3072 must fall back entirely).
+    from deepl_project_tpu.ops.pallas.fused_attention_block import (
+        _qkv_rows, qkv_supported)
+
+    assert _qkv_rows(4096, 384, 64) == 512       # headline stage2
+    assert _qkv_rows(1024, 1536, 64) == 256      # 512px stage4: row-blocked
+    assert _qkv_rows(1024, 3072, 64) == 0        # 3 x [C,C] bf16 = 56 MB
+    assert qkv_supported(4096, 384, 64, jnp.bfloat16)
+    assert not qkv_supported(4096, 384, 64, jnp.float32)   # bf16 only
+    assert not qkv_supported(4100, 384, 64, jnp.bfloat16)  # row divisibility
+    assert not qkv_supported(1024, 3072, 64, jnp.bfloat16)
