@@ -48,6 +48,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--warmup_uint8_inputs", action="store_true",
                    help="pre-compile for uint8 request payloads (the natural "
                         "decoded-image dtype; quarters the upload bytes)")
+    p.add_argument("--tls_cert", default=None,
+                   help="PEM certificate path; with --tls_key, serve HTTPS "
+                        "(TLS 1.2+).")
+    p.add_argument("--tls_key", default=None,
+                   help="PEM private-key path for --tls_cert.")
     p.add_argument("--compile_cache_dir", default=None,
                    help="Persistent XLA compile cache directory. A restarted "
                         "server skips the multi-minute warmup compiles "
@@ -130,9 +135,13 @@ def main(argv=None):
     import os
 
     token = args.auth_token or os.environ.get("DEEPL_SERVE_TOKEN") or None
+    if bool(args.tls_cert) != bool(args.tls_key):
+        raise SystemExit("--tls_cert and --tls_key must be given together")
     server = make_http_server(engine, args.host, args.port, auth_token=token,
-                              max_request_bytes=args.max_request_mb << 20)
-    print(f"[serve] {cfg.variant} on http://{args.host}:{args.port} "
+                              max_request_bytes=args.max_request_mb << 20,
+                              tls_cert=args.tls_cert, tls_key=args.tls_key)
+    scheme = "https" if args.tls_cert else "http"
+    print(f"[serve] {cfg.variant} on {scheme}://{args.host}:{args.port} "
           f"(device {jax.devices()[0]}, "
           f"auth {'on' if token else 'off'})")
     try:

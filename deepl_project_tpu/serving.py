@@ -312,13 +312,17 @@ class InferenceEngine:
 
 def make_http_server(engine: InferenceEngine, host: str = "127.0.0.1",
                      port: int = 8471, auth_token: str | None = None,
-                     max_request_bytes: int = 64 << 20):
+                     max_request_bytes: int = 64 << 20,
+                     tls_cert: str | None = None, tls_key: str | None = None):
     """Build (not start) a ThreadingHTTPServer bound to the engine.
 
     ``auth_token``: when set, POST requests must carry
     ``Authorization: Bearer <token>`` (``/healthz`` stays open for probes).
     ``max_request_bytes``: bodies above this are rejected with 413 before
     being read into memory.
+    ``tls_cert``/``tls_key``: PEM paths — when both are set the listener
+    speaks HTTPS (TLS 1.2+; wraps the socket before serving, so auth tokens
+    are never sent in clear text on untrusted networks).
     """
     import hmac
     from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
@@ -387,4 +391,12 @@ def make_http_server(engine: InferenceEngine, host: str = "127.0.0.1",
                 self._send(400, f"{type(e).__name__}: {e}".encode(),
                            "text/plain")
 
-    return ThreadingHTTPServer((host, port), Handler)
+    server = ThreadingHTTPServer((host, port), Handler)
+    if tls_cert and tls_key:
+        import ssl
+
+        ctx = ssl.SSLContext(ssl.PROTOCOL_TLS_SERVER)
+        ctx.minimum_version = ssl.TLSVersion.TLSv1_2
+        ctx.load_cert_chain(certfile=tls_cert, keyfile=tls_key)
+        server.socket = ctx.wrap_socket(server.socket, server_side=True)
+    return server

@@ -262,3 +262,38 @@ def test_serve_cli_compile_cache_flag(tmp_path):
     args = build_parser().parse_args(
         ["--compile_cache_dir", str(tmp_path / "cache")])
     assert args.compile_cache_dir == str(tmp_path / "cache")
+
+
+def test_https_round_trip(engine, tmp_path):
+    # TLS listener: self-signed cert, client pinned to it; auth still works.
+    import ssl
+    import subprocess
+    import urllib.request
+
+    cert = tmp_path / "cert.pem"
+    key = tmp_path / "key.pem"
+    subprocess.run(
+        ["openssl", "req", "-x509", "-newkey", "rsa:2048", "-nodes",
+         "-keyout", str(key), "-out", str(cert), "-days", "1",
+         "-subj", "/CN=localhost"], check=True, capture_output=True)
+
+    engine.start()
+    server = make_http_server(engine, "127.0.0.1", 0, auth_token="tok",
+                              tls_cert=str(cert), tls_key=str(key))
+    port = server.server_address[1]
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    try:
+        ctx = ssl.create_default_context(cafile=str(cert))
+        ctx.check_hostname = False
+        x = np.random.rand(1, 16, 16, 3).astype(np.float32)
+        buf = io.BytesIO()
+        np.save(buf, x)
+        req = urllib.request.Request(
+            f"https://127.0.0.1:{port}/reconstruct", data=buf.getvalue(),
+            headers={"Authorization": "Bearer tok"})
+        with urllib.request.urlopen(req, context=ctx, timeout=60) as r:
+            out = np.load(io.BytesIO(r.read()))
+        assert out.shape == x.shape
+    finally:
+        server.shutdown()
