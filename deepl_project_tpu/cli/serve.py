@@ -78,6 +78,9 @@ def build_parser() -> argparse.ArgumentParser:
 
 def main(argv=None):
     args = build_parser().parse_args(argv)
+    # Fail fast (before checkpoint load + multi-minute warmup compiles).
+    if bool(args.tls_cert) != bool(args.tls_key):
+        raise SystemExit("--tls_cert and --tls_key must be given together")
 
     import jax
 
@@ -135,8 +138,6 @@ def main(argv=None):
     import os
 
     token = args.auth_token or os.environ.get("DEEPL_SERVE_TOKEN") or None
-    if bool(args.tls_cert) != bool(args.tls_key):
-        raise SystemExit("--tls_cert and --tls_key must be given together")
     server = make_http_server(engine, args.host, args.port, auth_token=token,
                               max_request_bytes=args.max_request_mb << 20,
                               tls_cert=args.tls_cert, tls_key=args.tls_key)

@@ -178,12 +178,16 @@ def _flash_bwd_dkv_kernel(q_ref, k_ref, v_ref, g_ref, lse_ref, delta_ref,
         dv_ref[0] = dv_scr[:].astype(dv_ref.dtype)
 
 
-def _flash_backward(q, k, v, out, lse, g, scale, block_q, block_k):
+def _flash_backward(q, k, v, out, lse, g, scale, block_q, block_k,
+                    vmem_limit_mb=None):
     bh, n, d = q.shape
     block_q = min(block_q, n)
     block_k = min(block_k, n)
     q_blocks = n // block_q
     kv_blocks = n // block_k
+    extra = ({} if vmem_limit_mb is None else dict(
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=vmem_limit_mb * 1024 * 1024)))
 
     # delta = rowsum(dO * O) — cheap elementwise+reduce, fused by XLA.
     delta = jnp.sum(g.astype(jnp.float32) * out.astype(jnp.float32),
@@ -208,6 +212,7 @@ def _flash_backward(q, k, v, out, lse, g, scale, block_q, block_k):
             flops=6 * n * n * d * bh,
             bytes_accessed=6 * bh * n * d * q.dtype.itemsize,
             transcendentals=bh * n * n),
+        **extra,
     )(q, k, v, g, lse, delta)
 
     dk, dv = pl.pallas_call(
@@ -236,6 +241,7 @@ def _flash_backward(q, k, v, out, lse, g, scale, block_q, block_k):
             flops=8 * n * n * d * bh,
             bytes_accessed=6 * bh * n * d * q.dtype.itemsize,
             transcendentals=bh * n * n),
+        **extra,
     )(q, k, v, g, lse, delta)
     return dq, dk, dv
 
@@ -274,7 +280,8 @@ def _flash_fwd(q, k, v, scale, block_q, block_k, vmem_limit_mb):
 
 def _flash_bwd(scale, block_q, block_k, vmem_limit_mb, res, g):
     q, k, v, out, lse = res
-    return _flash_backward(q, k, v, out, lse, g, scale, block_q, block_k)
+    return _flash_backward(q, k, v, out, lse, g, scale, block_q, block_k,
+                           vmem_limit_mb)
 
 
 _flash.defvjp(_flash_fwd, _flash_bwd)

@@ -327,7 +327,23 @@ def make_http_server(engine: InferenceEngine, host: str = "127.0.0.1",
     import hmac
     from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
+    use_tls = bool(tls_cert and tls_key)
+
     class Handler(BaseHTTPRequestHandler):
+        def setup(self):
+            # TLS handshake runs HERE, in this connection's handler thread —
+            # wrapping with do_handshake_on_connect=True would perform it in
+            # serve_forever's single accept loop, letting one idle client
+            # block every other connection (confirmed single-client DoS).
+            if use_tls:
+                self.request.settimeout(15)
+                try:
+                    self.request.do_handshake()
+                except OSError:
+                    raise ConnectionAbortedError("TLS handshake failed")
+                self.request.settimeout(None)
+            super().setup()
+
         def log_message(self, *a):  # quiet
             pass
 
@@ -391,12 +407,22 @@ def make_http_server(engine: InferenceEngine, host: str = "127.0.0.1",
                 self._send(400, f"{type(e).__name__}: {e}".encode(),
                            "text/plain")
 
-    server = ThreadingHTTPServer((host, port), Handler)
-    if tls_cert and tls_key:
+    class _Server(ThreadingHTTPServer):
+        def handle_error(self, request, client_address):
+            import sys
+
+            exc = sys.exc_info()[1]
+            if isinstance(exc, (ConnectionError, TimeoutError, OSError)):
+                return  # failed/idle TLS handshakes are not server errors
+            super().handle_error(request, client_address)
+
+    server = _Server((host, port), Handler)
+    if use_tls:
         import ssl
 
         ctx = ssl.SSLContext(ssl.PROTOCOL_TLS_SERVER)
         ctx.minimum_version = ssl.TLSVersion.TLSv1_2
         ctx.load_cert_chain(certfile=tls_cert, keyfile=tls_key)
-        server.socket = ctx.wrap_socket(server.socket, server_side=True)
+        server.socket = ctx.wrap_socket(server.socket, server_side=True,
+                                        do_handshake_on_connect=False)
     return server

@@ -6,29 +6,17 @@ thresholds at production batch sizes.
 Usage: PYTHONPATH=/root/repo:/root/.axon_site python scripts/bench_attention_shapes.py
 """
 
-import os
-import time
-
 import jax
 import jax.numpy as jnp
 
-os.makedirs("/tmp/jax_cache", exist_ok=True)
-jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+from bench_util import setup_cache
+from bench_util import timed as _timed
+
+setup_cache()
 
 
 def timed(fn, *args, iters=20):
-    compiled = jax.jit(fn).lower(*args).compile()
-    fetch = jax.jit(lambda o: jnp.sum(o.astype(jnp.float32)))
-    float(fetch(compiled(*args)))
-    best = float("inf")
-    for _ in range(3):
-        t0 = time.perf_counter()
-        for _ in range(iters):
-            out = compiled(*args)
-        float(fetch(out))
-        best = min(best, (time.perf_counter() - t0) / iters)
-    return best
+    return _timed(fn, *args, iters=iters)[0]
 
 
 def main():

@@ -20,29 +20,19 @@ jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 BATCH = 32
-PEAK_TFLOPS = 197.0
+
+
+import functools
+
+import bench_util
+from bench_util import timed as _timed
+
+report = functools.partial(bench_util.report, width=34)
 
 
 def timed(fn, *args, iters=20):
-    compiled = jax.jit(fn).lower(*args).compile()
-    cost = compiled.cost_analysis() or {}
-    fetch = jax.jit(lambda o: jnp.sum(jax.tree_util.tree_leaves(o)[0]
-                                      .astype(jnp.float32)))
-    float(fetch(compiled(*args)))
-    best = float("inf")
-    for _ in range(3):
-        t0 = time.perf_counter()
-        for _ in range(iters):
-            out = compiled(*args)
-        float(fetch(out))
-        best = min(best, (time.perf_counter() - t0) / iters)
-    return best, float(cost.get("flops", 0.0))
-
-
-def report(name, dt, flops):
-    tf = flops / dt / 1e12 if dt else 0
-    print(f"  {name:34s} {dt*1e3:8.2f} ms  {tf:6.1f} TF/s "
-          f"({100*tf/PEAK_TFLOPS:4.1f}% MFU)", flush=True)
+    dt, flops, _ = _timed(fn, *args, iters=iters)
+    return dt, flops
 
 
 def main():

@@ -8,44 +8,18 @@ bucket at 31-41% MFU. This times those directly.
 Usage: PYTHONPATH=/root/repo:/root/.axon_site python scripts/bench_round2c.py
 """
 
-import os
-import time
+import functools
 
 import jax
 import jax.numpy as jnp
 
-os.makedirs("/tmp/jax_cache", exist_ok=True)
-jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+import bench_util
+from bench_util import setup_cache, timed
+
+setup_cache()
 
 BATCH = 32
-PEAK_TFLOPS = 197.0
-HBM_GBS = 819.0
-
-
-def timed(fn, *args, iters=20):
-    compiled = jax.jit(fn).lower(*args).compile()
-    cost = compiled.cost_analysis() or {}
-    fetch = jax.jit(lambda o: jnp.sum(jax.tree_util.tree_leaves(o)[0]
-                                      .astype(jnp.float32)))
-    float(fetch(compiled(*args)))
-    best = float("inf")
-    for _ in range(3):
-        t0 = time.perf_counter()
-        for _ in range(iters):
-            out = compiled(*args)
-        float(fetch(out))
-        best = min(best, (time.perf_counter() - t0) / iters)
-    return best, float(cost.get("flops", 0.0)), float(
-        cost.get("bytes accessed", 0.0))
-
-
-def report(name, dt, flops, nbytes=0.0):
-    tf = flops / dt / 1e12 if dt else 0
-    bw = nbytes / dt / 1e9 if dt else 0
-    print(f"  {name:46s} {dt*1e3:8.2f} ms  {tf:6.1f} TF/s "
-          f"({100*tf/PEAK_TFLOPS:4.1f}% MFU, {100*bw/HBM_GBS:4.1f}% HBM)",
-          flush=True)
+report = functools.partial(bench_util.report, width=46)
 
 
 def bench_stage2_block():

@@ -24,22 +24,11 @@ PEAK_TFLOPS = 197.0  # v5e bf16
 HBM_GBS = 819.0
 
 
+from bench_util import timed as _timed
+
+
 def timed(fn, *args, iters=10):
-    compiled = jax.jit(fn).lower(*args).compile()
-    cost = compiled.cost_analysis() or {}
-    fetch = jax.jit(lambda o: jnp.sum(jax.tree_util.tree_leaves(o)[0]
-                                      .astype(jnp.float32)))
-    float(fetch(compiled(*args)))
-    best = float("inf")
-    for _ in range(3):
-        t0 = time.perf_counter()
-        for _ in range(iters):
-            out = compiled(*args)
-        float(fetch(out))
-        best = min(best, (time.perf_counter() - t0) / iters)
-    flops = float(cost.get("flops", 0.0))
-    byt = float(cost.get("bytes accessed", 0.0))
-    return best, flops, byt
+    return _timed(fn, *args, iters=iters)
 
 
 def report(name, dt, flops, byt):

@@ -1,6 +1,7 @@
 """Serving tests: engine batching semantics + HTTP round trip (CPU)."""
 
 import io
+import shutil
 import threading
 import urllib.request
 
@@ -264,8 +265,12 @@ def test_serve_cli_compile_cache_flag(tmp_path):
     assert args.compile_cache_dir == str(tmp_path / "cache")
 
 
+@pytest.mark.skipif(shutil.which("openssl") is None,
+                    reason="openssl CLI needed to mint a test cert")
 def test_https_round_trip(engine, tmp_path):
     # TLS listener: self-signed cert, client pinned to it; auth still works.
+    # The handshake runs in the handler thread (do_handshake_on_connect=False)
+    # so an idle TCP client cannot block the accept loop.
     import ssl
     import subprocess
     import urllib.request
@@ -295,5 +300,18 @@ def test_https_round_trip(engine, tmp_path):
         with urllib.request.urlopen(req, context=ctx, timeout=60) as r:
             out = np.load(io.BytesIO(r.read()))
         assert out.shape == x.shape
+        # An idle plain-TCP client must NOT block other connections (the
+        # handshake would previously run in the accept loop).
+        import socket
+
+        idle = socket.create_connection(("127.0.0.1", port), timeout=10)
+        try:
+            req2 = urllib.request.Request(
+                f"https://127.0.0.1:{port}/healthz")
+            with urllib.request.urlopen(req2, context=ctx, timeout=10) as r:
+                assert b"variant" in r.read()
+        finally:
+            idle.close()
     finally:
         server.shutdown()
+        engine.stop()
