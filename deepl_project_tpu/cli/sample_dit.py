@@ -71,9 +71,21 @@ def main(argv=None):
     stats = LatentStats(mean=jnp.asarray(raw["latent_mean"]),
                         std=jnp.asarray(raw["latent_std"]))
 
-    vcfg = get_config(side["vae_variant"], side["vae_compression"])
-    vae = TransVAE(vcfg)
     vae_ckpt = args.vae_checkpoint or side.get("vae_checkpoint")
+    # Architecture from the tokenizer checkpoint's own config sidecar when
+    # present (same reasoning as cli/train_dit.py — variant flags alone drop
+    # training-time structure like norm_latents).
+    vcfg = None
+    if vae_ckpt:
+        from ..training.checkpoint import load_config
+
+        try:
+            vcfg = load_config(vae_ckpt)
+        except (FileNotFoundError, OSError):
+            vcfg = None
+    if vcfg is None:
+        vcfg = get_config(side["vae_variant"], side["vae_compression"])
+    vae = TransVAE(vcfg)
     if vae_ckpt:
         vae_params = restore_model_params(vae_ckpt)
     else:

@@ -81,8 +81,21 @@ def main(argv=None):
 
     rng = jax.random.PRNGKey(args.seed)
 
-    # Tokenizer (frozen): encode images → latents.
-    vcfg = get_config(args.vae_variant, args.vae_compression)
+    # Tokenizer (frozen): encode images → latents. The architecture MUST
+    # come from the checkpoint's config sidecar when one exists — rebuilding
+    # from CLI flags silently drops training-time settings (e.g. a
+    # norm_latents=True checkpoint applied to a norm_latents=False structure
+    # runs without error but yields random-scale latents, since Flax ignores
+    # the unused GroupNorm params).
+    if args.vae_checkpoint:
+        from ..training.checkpoint import load_config
+
+        try:
+            vcfg = load_config(args.vae_checkpoint)
+        except (FileNotFoundError, OSError):
+            vcfg = get_config(args.vae_variant, args.vae_compression)
+    else:
+        vcfg = get_config(args.vae_variant, args.vae_compression)
     vae = TransVAE(vcfg)
     if args.vae_checkpoint:
         vae_params = restore_model_params(args.vae_checkpoint)
@@ -102,9 +115,15 @@ def main(argv=None):
     # extrapolate between two unconditional branches) — train unconditional
     # instead: class_dropout=1.0 routes every sample to the null token, and
     # sampling forces cfg_scale=1.0.
-    raw_batches = batch_iterator(
-        make_dataset(args.data, args.resolution, with_labels=True),
-        args.batch_size)
+    def epoch_batches():
+        # Finite sources (folder/COCO/shapes) exhaust; diffusion training is
+        # step-count-driven, so loop epochs forever.
+        while True:
+            yield from batch_iterator(
+                make_dataset(args.data, args.resolution, with_labels=True),
+                args.batch_size)
+
+    raw_batches = epoch_batches()
     first_batch = next(raw_batches)
     has_labels = bool((first_batch[1] >= 0).any())
     class_dropout = args.class_dropout if has_labels else 1.0

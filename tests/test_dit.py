@@ -230,3 +230,38 @@ def test_sample_dit_cli_end_to_end(tmp_path):
     assert os.path.exists(os.path.join(samples, "grid.png"))
     assert len([f for f in os.listdir(samples)
                 if f.startswith("sample_")]) == 2
+
+
+def test_train_dit_uses_vae_checkpoint_config(tmp_path, capsys):
+    # The tokenizer architecture must come from the checkpoint's config
+    # sidecar: a norm_latents=True checkpoint applied to the flag-built
+    # (norm_latents=False) structure runs WITHOUT error but produces
+    # random-scale latents (Flax ignores the unused GroupNorm params) —
+    # the exact failure observed on-chip with a real trained checkpoint.
+    from deepl_project_tpu import TransVAE, get_config
+    from deepl_project_tpu.cli.train_dit import main
+    from deepl_project_tpu.models import init_params
+    from deepl_project_tpu.training.checkpoint import save_checkpoint
+
+    cfg = get_config("tiny", 16, 32).replace(norm_latents=True,
+                                             dtype="float32")
+    model = TransVAE(cfg)
+    params = init_params(model, jax.random.PRNGKey(0), image_size=64, batch=1)
+    ckpt = str(tmp_path / "vae")
+    save_checkpoint(ckpt, 1, {"params": {"model": params}, "opt_state": {},
+                              "step": 1}, config=cfg)
+
+    out = str(tmp_path / "dit")
+    main(["--dit_variant", "S", "--vae_variant", "tiny", "--vae_checkpoint",
+          ckpt, "--data", "synthetic", "--resolution", "64", "--batch_size",
+          "2", "--total_steps", "1", "--log_every", "1", "--save_every", "0",
+          "--sample_every", "0", "--stats_batches", "1",
+          "--output_dir", out])
+    txt = capsys.readouterr().out
+    # norm_latents bounds the latent scale; the mis-built structure yields
+    # |mean| in the hundreds-to-thousands.
+    import re
+
+    m = re.search(r"mean\|max\|=([0-9.]+)", txt)
+    assert m, txt
+    assert float(m.group(1)) < 100.0, txt
