@@ -67,3 +67,48 @@ def test_pool_latents(rng):
     batches = [np.random.rand(2, 16, 16, 3).astype(np.float32)] * 2
     feats = pool_latents(model, params, iter(batches))
     assert feats.shape == (4, 4)
+
+
+def test_metric_writer_and_step_timer(tmp_path):
+    from deepl_project_tpu.utils.logging import MetricWriter, StepTimer
+
+    w = MetricWriter(str(tmp_path))
+    w.scalars(1, {"loss": 0.5, "lr": 1e-4})
+    import numpy as np
+
+    w.image(1, "recon", np.zeros((8, 8, 3), np.float32))
+    w.flush()
+    w.close()
+    try:
+        import tensorboardX  # noqa: F401
+
+        import os
+
+        assert any(f.startswith("events") for f in os.listdir(tmp_path)), \
+            os.listdir(tmp_path)
+    except ImportError:
+        pass  # writer no-ops gracefully without tensorboardX
+    # None log_dir = no-op writer (non-primary ranks).
+    MetricWriter(None).scalars(1, {"x": 1.0})
+
+    t = StepTimer(warmup=1)
+    for _ in range(3):
+        t.tick(4)
+    assert t.images_per_sec > 0.0
+
+
+def test_reference_flops_table():
+    # The pinned reference-FLOPs table (bench denominator): resolution
+    # scaling is superlinear (attention) and variants grow monotonically.
+    from deepl_project_tpu.utils.flops import reference_flops_per_image
+
+    f256 = reference_flops_per_image("large", res=256)
+    f512 = reference_flops_per_image("large", res=512)
+    assert f256 > 1e12  # ~2.06e12 pinned from the torch reference
+    assert 3.0 < f512 / f256 < 7.0
+    assert (reference_flops_per_image("tiny", res=256)
+            < reference_flops_per_image("base", res=256) < f256)
+    import pytest
+
+    with pytest.raises(KeyError):
+        reference_flops_per_image("large", res=333)  # unpinned point
