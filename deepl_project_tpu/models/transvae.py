@@ -15,6 +15,7 @@ interop with reference-formatted data.
 
 from __future__ import annotations
 
+import os
 from typing import Any
 
 import jax
@@ -170,8 +171,14 @@ def from_pretrained(model_name: str, checkpoint_dir: str | None = None, **kw):
     """Build a model (and load weights when a checkpoint is given).
 
     Parses ``transvae-{variant}-f{f}d{d}`` names like the reference
-    (ref: transvae.py:264-283). Returns (model, params) — params is None when no
-    checkpoint_dir is given (the reference's weight download is likewise TODO).
+    (ref: transvae.py:264-283). Returns (model, params).
+
+    Weight resolution (the reference's actual download is TODO — here the
+    name is resolved against a local registry instead, which works in
+    zero-egress deployments): an explicit ``checkpoint_dir`` wins; otherwise,
+    when ``DEEPL_PRETRAINED_DIR`` is set and ``$DEEPL_PRETRAINED_DIR/<name>``
+    exists, weights load from there (orbax layout, as written by the
+    Trainer); else params is None (random init).
     """
     parts = model_name.split("-")
     if len(parts) < 3:
@@ -180,6 +187,12 @@ def from_pretrained(model_name: str, checkpoint_dir: str | None = None, **kw):
     f = int(fd[1:].split("d")[0])
     d = int(fd.split("d")[1])
     model = create_transvae(variant=variant, compression_ratio=f, latent_dim=d, **kw)
+    if checkpoint_dir is None:
+        registry = os.environ.get("DEEPL_PRETRAINED_DIR")
+        if registry:
+            candidate = os.path.join(registry, model_name)
+            if os.path.isdir(candidate):
+                checkpoint_dir = candidate
     params = None
     if checkpoint_dir is not None:
         from ..training.checkpoint import restore_params

@@ -29,9 +29,16 @@ def main():
     from deepl_project_tpu.training import (init_train_state, make_optimizer,
                                             make_train_step)
 
-    cfg = get_config("large", 16, 32).replace(
-        remat=True, remat_policy="dots", scan_blocks=True, norm_latents=True,
-        remat_resample=True, attention_impl="auto_train")
+    def env_flag(name, default):
+        return os.environ.get(name, "1" if default else "0") not in ("0", "")
+
+    cfg = get_config(os.environ.get("PROBE_VARIANT", "large"), 16, 32).replace(
+        remat=env_flag("PROBE_REMAT", True),
+        remat_policy=os.environ.get("PROBE_REMAT_POLICY", "dots"),
+        scan_blocks=env_flag("PROBE_SCAN", True),
+        norm_latents=True,
+        remat_resample=env_flag("PROBE_REMAT_RESAMPLE", True),
+        attention_impl=os.environ.get("PROBE_ATTN", "auto_train"))
     model = TransVAE(cfg)
     rng = jax.random.PRNGKey(0)
     params = {"model": init_params(model, rng, image_size=res, batch=1)}

@@ -227,3 +227,36 @@ def test_transvae_shim_import():
     out = loss(jnp.zeros((1, 16, 16, 3)), jnp.zeros((1, 16, 16, 3)),
                jnp.zeros((1, 1, 1, 4)), jnp.zeros((1, 1, 1, 4)))
     assert "total" in out
+
+
+def test_from_pretrained_name_parsing_and_registry(tmp_path, monkeypatch):
+    # Name parsing mirrors the reference (ref: transvae.py:248-267); weight
+    # resolution goes through the local DEEPL_PRETRAINED_DIR registry (the
+    # reference's download is TODO — here the offline registry is functional).
+    from deepl_project_tpu import from_pretrained
+    from deepl_project_tpu.training.checkpoint import save_checkpoint
+
+    with pytest.raises(ValueError):
+        from_pretrained("tiny")
+
+    model, params = from_pretrained("transvae-tiny-f16d32", **TEST_CFG)
+    assert model.config.compression_ratio == 16
+    assert model.config.latent_dim == 32
+    assert params is None  # no registry set -> random init
+
+    name = "transvae-large-f8d16"
+    ckpt_dir = tmp_path / name
+    payload = {"params": {"w": np.arange(4.0, dtype=np.float32)}}
+    save_checkpoint(str(ckpt_dir), step=7, state=payload)
+    monkeypatch.setenv("DEEPL_PRETRAINED_DIR", str(tmp_path))
+    model, params = from_pretrained(name, **TEST_CFG)
+    assert model.config.compression_ratio == 8
+    assert model.config.latent_dim == 16
+    np.testing.assert_array_equal(np.asarray(params["w"]), np.arange(4.0))
+
+    # An explicit checkpoint_dir wins over the registry.
+    other = tmp_path / "other"
+    save_checkpoint(str(other), step=1,
+                    state={"params": {"w": np.zeros(2, np.float32)}})
+    _, params = from_pretrained(name, checkpoint_dir=str(other), **TEST_CFG)
+    assert params["w"].shape == (2,)
