@@ -69,6 +69,16 @@ def build_parser() -> argparse.ArgumentParser:
                    help="reject request bodies larger than this (HTTP 413)")
     p.add_argument("--max_queue", type=int, default=256,
                    help="bounded request queue; excess requests get HTTP 503")
+    p.add_argument("--quantize", default=None, choices=["int8"],
+                   help="post-training quantization of the serving path "
+                        "(ResBlock convs + ConvFFN on the int8 MXU mode; "
+                        "calibrated on synthetic batches at "
+                        "--warmup_resolution or 256px)")
+    p.add_argument("--quantize_scope", default="all",
+                   choices=["all", "resblock", "ffn"],
+                   help="module families int8 covers; 'all' wins in the "
+                        "weight-HBM-bound small-batch regime (PERFORMANCE.md "
+                        "'Int8 PTQ serving path')")
     p.add_argument("--param_dtype", default=None, choices=["bfloat16"],
                    help="serve with bf16 params — required to fit the huge "
                         "(2.49B) / giant (4.84B) variants in one 16 GB chip "
@@ -122,6 +132,18 @@ def main(argv=None):
         model = TransVAE(cfg)
         params = init_params(model, jax.random.PRNGKey(0), image_size=64)
         print("[serve] WARNING: no --checkpoint; serving random weights")
+
+    if args.quantize == "int8":
+        from ..data.datasets import synthetic_shapes_dataset
+        from ..quantize import quantize_model
+
+        res = args.warmup_resolution or 256
+        imgs = list(synthetic_shapes_dataset(res, num_samples=8, seed=0))
+        batches = [np.stack(imgs[j:j + 4]) for j in (0, 4)]
+        model, params = quantize_model(cfg, params, batches,
+                                       scope=args.quantize_scope)
+        print(f"[serve] int8-quantized scope={args.quantize_scope} "
+              f"(calibrated on synthetic batches at {res}px)")
 
     engine = InferenceEngine(model, params, max_batch=args.max_batch,
                              batch_window_ms=args.batch_window_ms,

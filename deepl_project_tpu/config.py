@@ -74,6 +74,21 @@ class TransVAEConfig:
     # otherwise falls back to single-device attention. Use with inputs whose
     # H dimension is sharded over the axis — the ≥1024px training path.
     context_axis: str | None = None
+    # Int8 post-training quantization of the serving path ('int8' | None):
+    # ResBlock convs + ConvFFN matmuls/convs run s8xs8->s32 on the MXU with
+    # per-channel weight scales and static calibrated activation scales
+    # (ops/quant.py). The param tree changes — build it with
+    # deepl_project_tpu.quantize.quantize_model from a float checkpoint.
+    # Inference-only; not supported with scan_blocks or tensor parallelism.
+    quant: str | None = None
+    # Which module families the int8 path covers: 'all' | 'resblock' | 'ffn'.
+    # Measured on v5e (PERFORMANCE.md "Int8 PTQ"): the compute-bound b32
+    # regime loses on the FFN sites in-model while ResBlock conv sites win
+    # isolated; the weight-HBM-bound small-batch regime wins with 'all'.
+    quant_scope: str = "all"
+    # Internal: float forward that sows per-site activation absmax into the
+    # 'intermediates' collection (the calibration pass of quantize_model).
+    quant_calibrate: bool = False
 
     @property
     def num_stages(self) -> int:

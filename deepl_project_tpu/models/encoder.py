@@ -42,10 +42,13 @@ class TransVAEEncoder(nn.Module):
                     dtype=dtype, param_dtype=pdtype,
                     kernel_init=_conv_kernel_init(), name="conv_in")(x.astype(dtype))
 
+        q_res = cfg.quant if cfg.quant_scope in ("all", "resblock") else None
+        q_ffn = cfg.quant if cfg.quant_scope in ("all", "ffn") else None
         for i in range(cfg.num_stages):
             dim = cfg.base_dims[i]
             is_cnn = i < cfg.num_cnn_stages
             res_kwargs = dict(in_channels=dim, out_channels=dim,
+                              quant=q_res, calibrate=cfg.quant_calibrate,
                               dtype=dtype, param_dtype=pdtype)
             tv_kwargs = dict(dim=dim, mlp_ratio=cfg.mlp_ratio,
                              head_dim=cfg.head_dim, use_rope=cfg.use_rope,
@@ -55,6 +58,7 @@ class TransVAEEncoder(nn.Module):
                              dropout=cfg.dropout,
                              attention_impl=cfg.attention_impl,
                              context_axis=cfg.context_axis,
+                             quant=q_ffn, calibrate=cfg.quant_calibrate,
                              dtype=dtype, param_dtype=pdtype)
             if cfg.scan_blocks:
                 h = BlockStack(

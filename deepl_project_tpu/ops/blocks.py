@@ -23,27 +23,46 @@ class ResBlock(nn.Module):
     in_channels: int
     out_channels: int
     use_conv_shortcut: bool = False
+    # Int8 serving path + calibration hook — see ops/quant.py. GroupNorm/SiLU
+    # stay float; the three convs run s8xs8->s32 with static act scales.
+    quant: str | None = None
+    calibrate: bool = False
     dtype: jnp.dtype = jnp.bfloat16
     param_dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
-        conv = functools.partial(
-            nn.Conv, dtype=self.dtype, param_dtype=self.param_dtype,
-            kernel_init=_conv_kernel_init())
+        if self.quant == "int8":
+            from .quant import QConv
+
+            conv = lambda feats, ks, name: QConv(  # noqa: E731
+                feats, ks, dtype=self.dtype, name=name)
+        else:
+            _c = functools.partial(
+                nn.Conv, dtype=self.dtype, param_dtype=self.param_dtype,
+                kernel_init=_conv_kernel_init())
+            conv = lambda feats, ks, name: _c(  # noqa: E731
+                feats, ks, padding="SAME", name=name)
         gn = lambda dim, name: GroupNorm(  # noqa: E731
             gn_groups(dim), dim, dtype=self.dtype,
             param_dtype=self.param_dtype, name=name)
         h = gn(self.in_channels, name="norm1")(x)
         h = nn.silu(h)
-        h = conv(self.out_channels, (3, 3), padding=((1, 1), (1, 1)), name="conv1")(h)
+        if self.calibrate:
+            from .quant import sow_amax
+
+            sow_amax(self, "amax_h1", h)
+        h = conv(self.out_channels, (3, 3), name="conv1")(h)
         h = gn(self.out_channels, name="norm2")(h)
         h = nn.silu(h)
-        h = conv(self.out_channels, (3, 3), padding=((1, 1), (1, 1)), name="conv2")(h)
+        if self.calibrate:
+            sow_amax(self, "amax_h2", h)
+        h = conv(self.out_channels, (3, 3), name="conv2")(h)
         if self.in_channels != self.out_channels:
+            if self.calibrate:
+                sow_amax(self, "amax_x", x)
             if self.use_conv_shortcut:
-                sc = conv(self.out_channels, (3, 3), padding=((1, 1), (1, 1)),
-                          name="shortcut")(x)
+                sc = conv(self.out_channels, (3, 3), name="shortcut")(x)
             else:
                 sc = conv(self.out_channels, (1, 1), name="shortcut")(x)
         else:
@@ -65,6 +84,8 @@ class TransVAEBlock(nn.Module):
     dropout: float = 0.0
     attention_impl: str = "auto"
     context_axis: str | None = None
+    quant: str | None = None  # int8 serving path (ConvFFN only; attention
+    calibrate: bool = False   # stays in the fused bf16 kernels)
     dtype: jnp.dtype = jnp.bfloat16
     param_dtype: jnp.dtype = jnp.float32
 
@@ -82,6 +103,7 @@ class TransVAEBlock(nn.Module):
         if self.use_conv_ffn:
             h = ConvFFN(self.dim, mlp_ratio=self.mlp_ratio,
                         conv_type=self.conv_ffn_type, dropout=self.dropout,
+                        quant=self.quant, calibrate=self.calibrate,
                         name="ffn", **common)(h, deterministic=deterministic)
         else:
             h = StandardFFN(self.dim, mlp_ratio=self.mlp_ratio,

@@ -82,6 +82,13 @@ class ConvFFN(nn.Module):
     # unchanged (holders create conv_2/proj_out under the same names), so
     # checkpoints are unaffected; disable for the literal reference op order.
     fold_output: bool = True
+    # Int8 serving path ('int8' | None) and its calibration hook — see
+    # ops/quant.py. quant='int8' switches to a param tree produced by
+    # deepl_project_tpu.quantize.quantize_params (folded weights quantized
+    # per-output-channel, static activation scales); calibrate=True keeps the
+    # float path but sows per-site activation absmax into 'intermediates'.
+    quant: str | None = None
+    calibrate: bool = False
     dtype: jnp.dtype = jnp.bfloat16
     param_dtype: jnp.dtype = jnp.float32
 
@@ -91,12 +98,20 @@ class ConvFFN(nn.Module):
         assert c == self.dim
         hidden = int(self.dim * self.mlp_ratio * 4)
 
+        if self.quant == "int8" and self.conv_type == "full":
+            return self._int8_forward(x, hidden)
+
         dense = functools.partial(
             nn.Dense, dtype=self.dtype, param_dtype=self.param_dtype,
             kernel_init=nn.initializers.truncated_normal(0.02))
         conv = functools.partial(
             nn.Conv, dtype=self.dtype, param_dtype=self.param_dtype,
             kernel_init=_conv_kernel_init())
+
+        if self.calibrate and self.conv_type == "full":
+            from .quant import sow_amax
+
+            sow_amax(self, "amax_in", x)
 
         y = dense(hidden, name="proj_in")(x)
         y = _gelu(y)
@@ -115,11 +130,19 @@ class ConvFFN(nn.Module):
             # [hidden, ch+dim] matmul reads y once with full-width MXU tiles.
             w_head = jnp.concatenate(
                 [w0.reshape(hidden, ch).astype(self.dtype), wout_c], axis=1)
+            if self.calibrate:
+                from .quant import sow_amax
+
+                sow_amax(self, "amax_y", y)
             yw = jnp.dot(y, w_head,
                          preferred_element_type=jnp.float32).astype(self.dtype)
             z = _gelu(yw[..., :ch] + b0.astype(self.dtype))
+            if self.calibrate:
+                sow_amax(self, "amax_z", z)
             z = conv(ch, (3, 3), padding=((1, 1), (1, 1)), name="conv_1")(z)
             z = _gelu(z)
+            if self.calibrate:
+                sow_amax(self, "amax_z2", z)
             w_fold = jnp.dot(w2.reshape(ch, hidden).astype(self.dtype),
                              wout_c, preferred_element_type=jnp.float32
                              ).astype(self.dtype)
@@ -145,6 +168,44 @@ class ConvFFN(nn.Module):
         if self.dropout > 0.0:
             y = nn.Dropout(self.dropout)(y, deterministic=deterministic)
         return y
+
+    def _int8_forward(self, x: jax.Array, hidden: int) -> jax.Array:
+        """Int8 serving path mirroring the folded op order (see fold_output).
+
+        Folded float matrices (w_head = [conv_0 | proj_out], w_fold =
+        conv_2 @ proj_out) are quantized per-output-channel offline by
+        quantize_params; activation scales are static from calibration.
+        """
+        from .quant import QConv, QDense, qmatmul
+
+        ch = int(self.dim * self.mlp_ratio)
+        y = QDense(hidden, dtype=self.dtype, name="proj_in")(x)
+        y = _gelu(y)
+
+        w_head_q = self.param("w_head_q", lambda k, s: jnp.zeros(s, jnp.int8),
+                              (hidden, ch + self.dim))
+        w_head_s = self.param("w_head_scale", nn.initializers.ones,
+                              (ch + self.dim,), jnp.float32)
+        a_y = self.param("act_scale_y", nn.initializers.ones, (), jnp.float32)
+        b0 = self.param("b0", nn.initializers.zeros, (ch,), jnp.float32)
+        yw = qmatmul(y, w_head_q, w_head_s, a_y, out_dtype=self.dtype)
+        z = _gelu(yw[..., :ch] + b0.astype(self.dtype))
+
+        z = QConv(ch, (3, 3), dtype=self.dtype, name="conv_1")(z)
+        z = _gelu(z)
+
+        w_fold_q = self.param("w_fold_q", lambda k, s: jnp.zeros(s, jnp.int8),
+                              (ch, self.dim))
+        w_fold_s = self.param("w_fold_scale", nn.initializers.ones,
+                              (self.dim,), jnp.float32)
+        a_z2 = self.param("act_scale_z2", nn.initializers.ones, (),
+                          jnp.float32)
+        b_fold = self.param("b_fold", nn.initializers.zeros, (self.dim,),
+                            jnp.float32)
+        out = (yw[..., ch:].astype(jnp.float32)
+               + qmatmul(z, w_fold_q, w_fold_s, a_z2, out_dtype=jnp.float32)
+               + b_fold)
+        return out.astype(self.dtype)
 
 
 class StandardFFN(nn.Module):
