@@ -129,6 +129,17 @@ def main(argv=None):
     if args.config:
         load_yaml_config(args.config, args)
 
+    # Provenance: record the resolved flag set so every run directory is
+    # auditable (scripts/record_run.py collects this + history.jsonl into
+    # the tracked RESULTS/ dir).
+    import json as _json
+    import os as _os_prov
+    import sys as _sys
+
+    _os_prov.makedirs(args.output_dir, exist_ok=True)
+    with open(_os_prov.path.join(args.output_dir, "run_args.json"), "w") as f:
+        _json.dump({"argv": _sys.argv[1:], "args": vars(args)}, f, indent=1)
+
     model_cfg = get_config(args.variant, args.compression_ratio,
                            args.latent_dim, remat=args.gradient_checkpointing,
                            norm_latents=args.norm_latents,

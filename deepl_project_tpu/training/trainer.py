@@ -203,7 +203,7 @@ class Trainer:
         of a finite dataset is dropped by batch_iterator(drop_last=True),
         matching the reference DataLoader's drop_last.
         """
-        from ..utils.logging import MetricWriter, StepTimer
+        from ..utils.logging import MetricWriter, RunHistory, StepTimer
 
         # Dev-mode numerical sanitizer (SURVEY.md §5 "race detection" analogue):
         # the NaN-guard in the optimizer chain skips bad steps in production;
@@ -216,6 +216,8 @@ class Trainer:
             state = self.create_state(rng, dino_dim=self.dino_dim)
         state, start_epoch = self.maybe_resume(state)
         writer = MetricWriter(os.path.join(self.cfg.output_dir, "tb"))
+        history = RunHistory(os.path.join(self.cfg.output_dir,
+                                          "history.jsonl"))
         sharding = batch_sharding(self.mesh)
         timer = StepTimer()
 
@@ -245,6 +247,7 @@ class Trainer:
                     host = {k: float(v) for k, v in metrics.items()}
                     host["images_per_sec"] = timer.images_per_sec
                     writer.scalars(step, host)
+                    history.append(step, host, kind="train")
                     epoch_metrics.append(host)
                     print(f"[trainer] epoch {epoch} step {step} "
                           f"loss {host['total']:.4f} "
@@ -253,6 +256,7 @@ class Trainer:
                         and step % self.cfg.eval_every_steps == 0):
                     val = self.evaluate(state, val_batches)
                     writer.scalars(step, val)
+                    history.append(step, val, kind="val")
                     print(f"[trainer] epoch {epoch} step {step} "
                           f"val_psnr {val['val_psnr']:.2f} dB "
                           f"val_ssim {val['val_ssim']:.4f}")

@@ -53,6 +53,39 @@ class MetricWriter:
             self._writer.close()
 
 
+class RunHistory:
+    """Append-only JSONL run record (<output_dir>/history.jsonl).
+
+    Every logged metric row (train losses, val PSNR/SSIM, throughput) is
+    appended as one JSON object so quality/perf claims are auditable after
+    the run — the machine-readable counterpart of the reference's
+    TensorBoard-only logging (ref: train_2.py:379-383). Collected into the
+    tracked RESULTS/ dir by scripts/record_run.py."""
+
+    def __init__(self, path: str | None, only_primary: bool = True):
+        self._path = None
+        if path is None:
+            return
+        if only_primary and jax.process_index() != 0:
+            return
+        import os
+
+        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+        self._path = path
+
+    def append(self, step: int, metrics: Mapping[str, float],
+               kind: str = "train") -> None:
+        if self._path is None:
+            return
+        import json
+
+        row = {"step": int(step), "kind": kind,
+               "ts": time.time(),
+               **{k: float(v) for k, v in metrics.items()}}
+        with open(self._path, "a") as f:
+            f.write(json.dumps(row) + "\n")
+
+
 class StepTimer:
     """Images/sec + step-time tracking with warmup exclusion."""
 

@@ -1,0 +1,100 @@
+#!/usr/bin/env python
+"""Collect a training/eval run's artifacts into the tracked RESULTS/ dir.
+
+Every number cited in PERFORMANCE.md should have a JSON artifact here
+(round-2 verdict: claims lived only in prose). Two modes:
+
+  # Summarize a training run dir (run_args.json + history.jsonl):
+  python scripts/record_run.py --run_dir runs/tiny256 --name tiny256_vf01
+
+  # Record an ad-hoc measurement:
+  python scripts/record_run.py --name int8_serving --json '{"img_s": 25.1}'
+
+Output: RESULTS/<name>.json with provenance (argv, git rev, timestamp),
+the full val-metric history, and a summary (best/final val PSNR/SSIM,
+mean train throughput, final losses).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+RESULTS = os.path.join(REPO, "RESULTS")
+
+
+def git_rev() -> str:
+    try:
+        return subprocess.check_output(
+            ["git", "-C", REPO, "rev-parse", "--short", "HEAD"],
+            text=True).strip()
+    except Exception:
+        return "unknown"
+
+
+def summarize_history(rows: list[dict]) -> dict:
+    val = [r for r in rows if r.get("kind") == "val"]
+    train = [r for r in rows if r.get("kind") == "train"]
+    out: dict = {"n_val_points": len(val), "n_train_points": len(train)}
+    if val:
+        best = max(val, key=lambda r: r.get("val_psnr", -1))
+        out["best_val_psnr"] = best.get("val_psnr")
+        out["best_val_step"] = best.get("step")
+        out["final_val_psnr"] = val[-1].get("val_psnr")
+        out["final_val_ssim"] = val[-1].get("val_ssim")
+        out["final_val_step"] = val[-1].get("step")
+        out["val_curve"] = [
+            {"step": r["step"], "psnr": round(r.get("val_psnr", 0), 3),
+             "ssim": round(r.get("val_ssim", 0), 4)} for r in val]
+    if train:
+        out["final_train_loss"] = train[-1].get("total")
+        ips = [r["images_per_sec"] for r in train
+               if r.get("images_per_sec", 0) > 0]
+        if ips:
+            out["mean_images_per_sec"] = sum(ips) / len(ips)
+        out["final_step"] = train[-1].get("step")
+    return out
+
+
+def main() -> None:
+    p = argparse.ArgumentParser()
+    p.add_argument("--run_dir", default=None)
+    p.add_argument("--name", required=True)
+    p.add_argument("--json", default=None,
+                   help="ad-hoc measurement payload (JSON object)")
+    p.add_argument("--note", default="")
+    args = p.parse_args()
+
+    record: dict = {"name": args.name, "git_rev": git_rev(),
+                    "recorded_at": time.strftime("%Y-%m-%dT%H:%M:%S"),
+                    "note": args.note}
+    if args.run_dir:
+        ra = os.path.join(args.run_dir, "run_args.json")
+        if os.path.exists(ra):
+            with open(ra) as f:
+                record["run_args"] = json.load(f)
+        hist = os.path.join(args.run_dir, "history.jsonl")
+        if os.path.exists(hist):
+            rows = [json.loads(line) for line in open(hist) if line.strip()]
+            record["summary"] = summarize_history(rows)
+    if args.json:
+        record["measurement"] = json.loads(args.json)
+
+    os.makedirs(RESULTS, exist_ok=True)
+    out = os.path.join(RESULTS, f"{args.name}.json")
+    with open(out, "w") as f:
+        json.dump(record, f, indent=1)
+    print(f"recorded -> {out}")
+    if "summary" in record:
+        s = record["summary"]
+        print(json.dumps({k: s.get(k) for k in
+                          ("best_val_psnr", "final_val_psnr",
+                           "mean_images_per_sec", "final_step")}))
+
+
+if __name__ == "__main__":
+    main()
