@@ -54,10 +54,12 @@ class TransVAEConfig:
     param_dtype: str = "float32"
     remat: bool = False  # per-block gradient checkpointing
     remat_resample: bool = False  # also remat Down/Upsample (max memory saving)
-    # Rematerialization policy: 'dots' saves matmul/conv outputs and
-    # recomputes only the cheap elementwise chains — measured 52% faster
-    # training than 'none' on v5e (base@256 b8: 402 vs 610 ms/step) at
-    # modestly higher memory; 'none' = save nothing (max memory saving).
+    # Rematerialization policy (ops/blocks.py resolve_remat_policy):
+    # 'none' saves nothing (max memory saving); 'dots' saves non-batch matmul
+    # outputs — measured 52% faster training than 'none' on v5e (base@256 b8:
+    # 402 vs 610 ms/step); 'dots_all' also saves the batched attention
+    # matmuls; 'conv_dots' additionally saves conv outputs so the backward
+    # recomputes only elementwise chains (fastest, highest memory).
     remat_policy: str = "dots"
     # Compile each stage's block loop as one lax.scan body with stacked params
     # (smaller XLA program; required to compile large/huge/giant training

@@ -16,7 +16,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from ..config import TransVAEConfig
-from ..ops.blocks import ResBlock, TransVAEBlock
+from ..ops.blocks import ResBlock, TransVAEBlock, resolve_remat_policy
 from ..ops.stack import BlockStack
 from ..ops.ffn import _conv_kernel_init
 from ..ops.norms import GroupNorm, gn_groups
@@ -36,8 +36,7 @@ class TransVAEDecoder(nn.Module):
 
         res_cls, tv_cls, rs_cls = ResBlock, TransVAEBlock, Upsample
         if cfg.remat:
-            policy = (jax.checkpoint_policies.dots_with_no_batch_dims_saveable
-                      if cfg.remat_policy == "dots" else None)
+            policy = resolve_remat_policy(cfg.remat_policy)
             res_cls = nn.remat(ResBlock, policy=policy)
             tv_cls = nn.remat(TransVAEBlock, static_argnums=(2,), policy=policy)
         if cfg.remat and cfg.remat_resample:

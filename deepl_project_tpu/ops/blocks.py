@@ -16,6 +16,36 @@ from .ffn import ConvFFN, StandardFFN, _conv_kernel_init
 from .norms import GroupNorm, RMSNorm, gn_groups
 
 
+def _convs_and_dots_saveable(prim, *_, **__) -> bool:
+    # The built-in dots policies ignore conv_general_dilated, so under them
+    # every CNN-stage conv is recomputed in the backward pass — expensive at
+    # the high-spatial stages. This policy saves conv AND matmul outputs;
+    # remat then recomputes only the cheap elementwise chains.
+    return str(getattr(prim, "name", prim)) in ("conv_general_dilated",
+                                                "dot_general")
+
+
+def resolve_remat_policy(name: str | None):
+    """Map a config remat_policy name to a jax.checkpoint policy.
+
+    'none'      — save nothing (max memory saving, max recompute)
+    'dots'      — save non-batch matmul outputs (attention QK/PV and conv
+                  outputs still recomputed)
+    'dots_all'  — save ALL matmul outputs incl. batched attention matmuls
+    'conv_dots' — save conv + matmul outputs; recompute only elementwise
+                  (fastest backward, highest memory)
+    """
+    if name in (None, "none"):
+        return None
+    if name == "dots":
+        return jax.checkpoint_policies.dots_with_no_batch_dims_saveable
+    if name == "dots_all":
+        return jax.checkpoint_policies.dots_saveable
+    if name == "conv_dots":
+        return _convs_and_dots_saveable
+    raise ValueError(f"Unknown remat policy {name!r}")
+
+
 class ResBlock(nn.Module):
     """GroupNorm(32)→SiLU→3x3 conv, x2, plus 1x1 (or 3x3) shortcut on channel
     change (ref: blocks.py:12-68)."""

@@ -47,9 +47,10 @@ class BlockStack(nn.Module):
                 return out, None
 
         if self.remat:
-            policy = (jax.checkpoint_policies.dots_with_no_batch_dims_saveable
-                      if self.remat_policy == "dots" else None)
-            body = nn.remat(Body, prevent_cse=False, policy=policy)
+            from .blocks import resolve_remat_policy
+
+            body = nn.remat(Body, prevent_cse=False,
+                            policy=resolve_remat_policy(self.remat_policy))
         else:
             body = Body
         scanned = nn.scan(

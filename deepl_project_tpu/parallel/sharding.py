@@ -27,15 +27,24 @@ from .mesh import MODEL_AXIS
 # sharded — the rules below apply to the trailing dims.
 _COLUMN_PARALLEL = ("to_q", "to_k", "to_v", "proj_in")  # shard output dim
 _ROW_PARALLEL = ("proj", "proj_out")  # shard input dim (XLA psums output)
-# Conv HWIO kernels. 'column' shards output channels; 'row' shards input
-# channels (partial sums psummed by XLA). ResBlock pairs conv1(col) ->
-# GN/SiLU (channel-local: 32 groups stay whole per shard for model_size | 32)
-# -> conv2(row), the Megatron pattern applied to the FLOP-dominant 3x3 convs
-# (ref blocks.py:12-68); Down/Upsample main_0/main_1 pair the same way, and
-# the dc/shortcut/latent-head/conv_out 'row' entries ride the same psum.
-_CONV_COLUMN = ("conv_0", "conv_2", "conv1", "main_0")
-_CONV_ROW = ("conv2", "main_1", "shortcut", "dc_conv",
-             "conv_mu", "conv_logvar", "conv_out")
+# Conv HWIO kernels: 'column' shards output channels over 'model'. Only the
+# FLOP-dominant ResBlock/ConvFFN 3x3 convs are sharded (ref blocks.py:12-68);
+# the consumer conv (conv2 / main_1 / dc / heads) keeps a REPLICATED kernel
+# and XLA all-gathers the channel-sharded activation it consumes.
+#
+# Why no row-parallel (input-channel) conv sharding: the Megatron col->row
+# pairing on convs makes SPMD emit "involuntary full rematerialization" on
+# every row-sharded kernel's backward `rev` op (and the Downsample/Upsample
+# main/dc convs did the same even column-sharded) — a replicate+repartition
+# of the kernel every step. Measured on the 8-virtual-device DPxCPxTP dryrun:
+# Megatron conv rules -> 24 involuntary-remat warnings; column-only on
+# ResBlock/FFN convs -> 0, with step-loss equality to the replicated baseline
+# unchanged (delta ~1e-3 fp32 reassociation). Traffic is comparable: Megatron
+# pays an output-activation psum per pair, column-only pays an activation
+# all-gather — both one activation-sized ICI collective — while column-only
+# avoids the per-step kernel remats. Dense matmuls keep the classic
+# col->row pairing (_ROW_PARALLEL above): their backward reshards fine.
+_CONV_COLUMN = ("conv_0", "conv_2", "conv1")
 
 
 def _path_names(path) -> list[str]:
@@ -60,8 +69,6 @@ def _spec_for_tensor(names: list[str], shape: tuple, model_size: int) -> P:
     if leaf == "kernel" and rank == 4:
         if parent in _CONV_COLUMN and shape[-1] % model_size == 0:
             return spec(None, None, None, MODEL_AXIS)
-        if parent in _CONV_ROW and shape[-2] % model_size == 0:
-            return spec(None, None, MODEL_AXIS, None)
     if (leaf == "bias" and rank == 1
             and parent in _COLUMN_PARALLEL + _CONV_COLUMN
             and shape[-1] % model_size == 0):
