@@ -63,6 +63,14 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--cfg_scale", type=float, default=4.0)
     p.add_argument("--log_every", type=int, default=100)
     p.add_argument("--save_every", type=int, default=10_000)
+    p.add_argument("--fid_every", type=int, default=0,
+                   help="if > 0, compute generation FID every N steps "
+                        "(InceptionV3 when converted weights exist, else "
+                        "VGG features — relative-only) and append it to "
+                        "<output_dir>/history.jsonl")
+    p.add_argument("--fid_samples", type=int, default=256,
+                   help="samples per FID evaluation (paper FID-10K uses "
+                        "10000; shapes-scale trajectories use fewer)")
     p.add_argument("--output_dir", default="outputs/dit")
     return p
 
@@ -201,6 +209,39 @@ def main(argv=None):
         return {"state": state, "latent_mean": stats.mean,
                 "latent_std": stats.std}
 
+    from ..utils.logging import RunHistory
+
+    history = RunHistory(_os.path.join(args.output_dir, "history.jsonl"))
+
+    fid_feature_fn, fid_key, fid_real = None, None, None
+    if args.fid_every:
+        from ..evaluation import make_fid_feature_fn
+
+        fid_feature_fn, fid_key = make_fid_feature_fn()
+        fid_key = fid_key.replace("rfid", "gen_fid")
+        # Fixed real-image pool for every evaluation (same-protocol curve).
+        fid_real, seen = [], 0
+        while seen < args.fid_samples:
+            b = next(data)[0]
+            fid_real.append(b)
+            seen += b.shape[0]
+
+    def run_fid(state, step):
+        from ..training.diffusion import generation_fid
+
+        fid = generation_fid(
+            vae, vae_params, dit,
+            state.ema_params if use_ema else state.params, stats,
+            iter(fid_real), fid_feature_fn, jax.random.PRNGKey(step),
+            num_samples=args.fid_samples, batch_size=args.batch_size,
+            grid=grid, num_steps=args.sample_steps,
+            cfg_scale=args.cfg_scale if has_labels else 1.0,
+            unconditional=not has_labels)
+        print(f"step {step}: {fid_key} {fid:.3f} "
+              f"({args.fid_samples} samples)")
+        history.append(step, {fid_key: fid}, kind="fid")
+        return fid
+
     t0, imgs_seen = time.time(), 0
     for i in range(start_step, args.total_steps):
         images_np, labels_np = next(data)
@@ -214,10 +255,16 @@ def main(argv=None):
         imgs_seen += images.shape[0]
         if (i + 1) % args.log_every == 0:
             dt = time.time() - t0
-            print(f"step {i+1}: loss {float(metrics['loss']):.4f} "
-                  f"grad_norm {float(metrics['grad_norm']):.3f} "
-                  f"{imgs_seen/dt:.1f} img/s")
+            host = {"loss": float(metrics["loss"]),
+                    "grad_norm": float(metrics["grad_norm"]),
+                    "images_per_sec": imgs_seen / dt}
+            print(f"step {i+1}: loss {host['loss']:.4f} "
+                  f"grad_norm {host['grad_norm']:.3f} "
+                  f"{host['images_per_sec']:.1f} img/s")
+            history.append(i + 1, host, kind="train")
             t0, imgs_seen = time.time(), 0
+        if args.fid_every and (i + 1) % args.fid_every == 0:
+            run_fid(state, i + 1)
         if args.save_every and (i + 1) % args.save_every == 0:
             save_checkpoint(args.output_dir, i + 1, ckpt_payload(state))
         if args.sample_every and (i + 1) % args.sample_every == 0:

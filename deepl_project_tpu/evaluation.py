@@ -60,6 +60,19 @@ def make_vgg_feature_fn(lpips_params: Any):
     return feature_fn
 
 
+def make_fid_feature_fn() -> tuple:
+    """(feature_fn, metric_key) for FID-style metrics: InceptionV3 pool3 when
+    converted weights exist (paper Table 1/2b protocol), else pooled VGG
+    features under a 'vgg_' key so relative-only numbers are never conflated
+    with paper-comparable ones."""
+    from .utils.inception import (inception_params_available,
+                                  make_inception_feature_fn)
+
+    if inception_params_available():
+        return make_inception_feature_fn(), "rfid"
+    return make_vgg_feature_fn(get_lpips_params()), "vgg_rfid"
+
+
 def evaluate_model(model: TransVAE, params: Any,
                    batches: Iterator[np.ndarray],
                    use_lpips: bool = True,
@@ -75,16 +88,7 @@ def evaluate_model(model: TransVAE, params: Any,
     feature_fn = None
     rfid_key = None
     if compute_rfid:
-        from .utils.inception import (inception_params_available,
-                                      make_inception_feature_fn)
-
-        if inception_params_available():
-            # The paper's protocol: InceptionV3 pool3 features (Table 1).
-            feature_fn = make_inception_feature_fn()
-            rfid_key = "rfid"
-        else:
-            feature_fn = make_vgg_feature_fn(lpips_params)
-            rfid_key = "vgg_rfid"
+        feature_fn, rfid_key = make_fid_feature_fn()
     real_feats: list = []
     fake_feats: list = []
 

@@ -176,7 +176,7 @@ def generation_fid(vae_model, vae_params, dit_model, dit_params,
                    stats: LatentStats, real_batches, feature_fn,
                    rng: jax.Array, num_samples: int = 10_000,
                    batch_size: int = 64, grid: int = 16, num_steps: int = 50,
-                   cfg_scale: float = 1.0) -> float:
+                   cfg_scale: float = 1.0, unconditional: bool = False) -> float:
     """Class-conditional generation FID (the paper's FID-10K, Table 2b).
 
     Generates ``num_samples`` images through DiT→TransVAE-decode and computes
@@ -196,7 +196,13 @@ def generation_fid(vae_model, vae_params, dit_model, dit_params,
     while done < num_samples:
         b = min(batch_size, num_samples - done)
         rng, k1, k2 = jax.random.split(rng, 3)
-        labels = jax.random.randint(k1, (b,), 0, num_classes)
+        if unconditional:
+            # Models trained with class_dropout=1.0 (label-less data) only
+            # ever saw the null token; random class labels would condition
+            # on untrained embeddings.
+            labels = jnp.full((b,), num_classes, jnp.int32)
+        else:
+            labels = jax.random.randint(k1, (b,), 0, num_classes)
         z = sampler(dit_params, k2, labels, grid,
                     dit_model.config.in_channels)
         imgs = decode(stats.denormalize(z))
