@@ -52,6 +52,16 @@ class PatchDiscriminator(nn.Module):
             kernel_init=nn.initializers.normal(0.02))
         leaky = functools.partial(nn.leaky_relu, negative_slope=0.2)
 
+        # Receptive-field floor: after num_layers stride-2 convs the map is
+        # H/2^L; conv_pen and conv_out (4x4, pad 1, stride 1) each shave one
+        # more pixel. Anything smaller produces a ZERO-SIZE logit map whose
+        # mean is silently NaN — fail loudly instead.
+        min_input = 3 * (2 ** self.num_layers)
+        if x.shape[1] < min_input or x.shape[2] < min_input:
+            raise ValueError(
+                f"PatchDiscriminator(num_layers={self.num_layers}) needs "
+                f"inputs >= {min_input}px; got {x.shape[1]}x{x.shape[2]}. "
+                "Use fewer layers for small images.")
         h = x.astype(self.dtype)
         ch = self.base_channels
         h = conv(ch, (4, 4), strides=(2, 2), padding=((1, 1), (1, 1)),

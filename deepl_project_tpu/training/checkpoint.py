@@ -71,6 +71,27 @@ def restore_checkpoint(directory: str, abstract_state: Any | None = None,
     return payload["state"], payload["meta"]
 
 
+def checkpoint_state_keys(directory: str, step: int | None = None) -> set[str]:
+    """Top-level keys of the saved payload's ``state`` dict, read from orbax's
+    on-disk tree metadata — no array data is loaded. Lets resume decide
+    whether e.g. discriminator state is present before building the abstract
+    target tree for a structured restore."""
+    import ast
+
+    if step is None:
+        step = latest_step(directory)
+    meta_path = os.path.join(os.path.abspath(directory), str(step),
+                             "default", "_METADATA")
+    with open(meta_path) as f:
+        tree = json.load(f)["tree_metadata"]
+    keys: set[str] = set()
+    for flat_key in tree:
+        parts = ast.literal_eval(flat_key)
+        if len(parts) > 1 and parts[0] == "state":
+            keys.add(parts[1])
+    return keys
+
+
 def load_config(directory: str) -> TransVAEConfig:
     with open(os.path.join(directory, "config.json")) as f:
         raw = json.load(f)

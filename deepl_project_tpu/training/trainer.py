@@ -124,12 +124,7 @@ class Trainer:
             self._disc_state = None
 
             def gan_adapter(state, batch, rng):
-                if self._disc_state is None:
-                    dvars = self.disc.init(
-                        jax.random.PRNGKey(train_config.seed + 1),
-                        jnp_zeros_like_batch(batch))
-                    self._disc_state = init_train_state(
-                        {"model": dvars["params"]}, self.disc_tx)
+                self._ensure_disc_state(batch)
                 state, self._disc_state, metrics = self._gan_step(
                     state, self._disc_state, batch, rng)
                 return state, metrics
@@ -154,19 +149,104 @@ class Trainer:
         params = shard_params(self.mesh, params, self.cfg.param_sharding)
         return init_train_state(params, self.tx)
 
+    def _ensure_disc_state(self, batch=None) -> TrainState:
+        """Lazily init the discriminator train state. ``batch`` only supplies
+        the init shape; PatchGAN is fully convolutional, so a dummy
+        [1, res, res, 3] works when no batch is at hand (resume time)."""
+        if self._disc_state is None:
+            import jax.numpy as jnp
+
+            if batch is None:
+                res = self.cfg.resolution
+                batch = jnp.zeros((1, res, res, 3),
+                                  self.model_config.compute_dtype)
+            dvars = self.disc.init(jax.random.PRNGKey(self.cfg.seed + 1),
+                                   jnp_zeros_like_batch(batch))
+            self._disc_state = init_train_state(
+                {"model": dvars["params"]}, self.disc_tx)
+        return self._disc_state
+
     def maybe_resume(self, state: TrainState) -> tuple[TrainState, int]:
         ckpt_dir = os.path.join(self.cfg.output_dir, "checkpoints")
         step = latest_step(ckpt_dir)
         if step is None:
             return state, 0
-        payload, meta = restore_checkpoint(ckpt_dir)
-        state = state.replace(step=payload["step"], params=payload["params"],
-                              opt_state=payload["opt_state"])
-        if self.use_gan and "disc_params" in payload:
-            from .train_step import init_train_state as _init
+        # Structured restore: orbax must be given the live pytree as the
+        # target or it returns plain dicts in place of the optax NamedTuples
+        # (ApplyIfFiniteState etc.), which breaks tx.update on the first
+        # post-resume step. Build the abstract payload from the fresh state;
+        # on-disk key metadata decides whether discriminator state is present
+        # (stage-2 resume) or not (fresh stage 2 from a stage-1 checkpoint).
+        from .checkpoint import checkpoint_state_keys
 
+        # Abstract leaves carry explicit target shardings: params keep their
+        # mesh layout; scalars (step, optimizer counters) restore replicated
+        # on the SAME mesh — orbax would otherwise commit them to one device,
+        # which jit rejects against the mesh-committed params.
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        def _abstract_leaf(x):
+            s = getattr(x, "sharding", None)
+            if not isinstance(s, NamedSharding):
+                s = NamedSharding(self.mesh, PartitionSpec())
+            return jax.ShapeDtypeStruct(x.shape, x.dtype, sharding=s)
+
+        abstract = jax.tree_util.tree_map(
+            _abstract_leaf,
+            {"params": state.params, "opt_state": state.opt_state,
+             "step": state.step})
+        try:
+            keys = checkpoint_state_keys(ckpt_dir, step)
+        except Exception:
+            keys = None
+        if keys is not None and self.use_gan and "disc_params" in keys:
+            disc_state = self._ensure_disc_state()
+            abstract["disc_params"] = jax.tree_util.tree_map(
+                _abstract_leaf, disc_state.params)
+            abstract["disc_opt_state"] = jax.tree_util.tree_map(
+                _abstract_leaf, disc_state.opt_state)
+        use_abstract = keys is not None and keys == set(abstract)
+        try:
+            payload, meta = restore_checkpoint(
+                ckpt_dir, abstract_state=abstract if use_abstract else None)
+        except Exception as e:
+            if not use_abstract:
+                raise
+            # Top-level keys matched but the inner tree didn't — e.g. the
+            # stage-2 optimizer partitions differently (freeze_encoder), so
+            # the saved opt_state has another structure. Restore raw and keep
+            # the fresh optimizer (the right semantic for a stage hand-off).
+            print(f"[trainer] structured restore failed ({type(e).__name__}); "
+                  "falling back to params/step-only restore")
+            use_abstract = False
+            payload, meta = restore_checkpoint(ckpt_dir)
+        import jax.numpy as jnp
+
+        # Orbax restores the scalar step committed to a single device; keep it
+        # uncommitted so jit can co-locate it with the mesh-sharded params.
+        step_val = jnp.asarray(int(payload["step"]), jnp.int32)
+        if use_abstract:
+            state = state.replace(step=step_val,
+                                  params=payload["params"],
+                                  opt_state=payload["opt_state"])
+        else:
+            # Raw restore loses the optax NamedTuple structure; a raw-dict
+            # opt_state would crash tx.update, so keep the fresh optimizer
+            # state (params and step restore fine — they are plain pytrees).
+            print("[trainer] WARNING: checkpoint keys "
+                  f"{sorted(keys) if keys else '<unknown>'} do not match the "
+                  "live state; restoring params/step only (optimizer state "
+                  "reset)")
+            restored_params = jax.device_put(
+                payload["params"],
+                jax.tree_util.tree_map(lambda x: x.sharding, state.params))
+            state = state.replace(step=step_val, params=restored_params)
+        if self.use_gan and use_abstract and "disc_params" in payload:
+            # A fresh buffer, NOT step_val: the jitted GAN step donates both
+            # states, and donating one buffer through two args is an error.
             self._disc_state = TrainState(
-                step=payload["step"], params=payload["disc_params"],
+                step=jnp.asarray(int(payload["step"]), jnp.int32),
+                params=payload["disc_params"],
                 opt_state=payload["disc_opt_state"])
         print(f"[trainer] resumed from step {int(state.step)} "
               f"(epoch {meta['epoch']})")

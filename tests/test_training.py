@@ -321,3 +321,87 @@ def test_trainer_save_every_steps(tmp_path):
     tr.fit(data)
     # Mid-epoch saves at steps 2 and 4, plus the end-of-training save.
     assert latest_step(str(tmp_path / "checkpoints")) == 5
+
+
+def _micro_trainer(tmp_path, gan=False, steps=3, resolution=16):
+    # NB: GAN trainers need resolution >= 24 (PatchGAN receptive-field floor).
+    from deepl_project_tpu.training.trainer import Trainer, TrainerConfig
+
+    mcfg = get_config("tiny_f16d32", dtype="float32", attention_impl="xla")
+    mcfg = mcfg.replace(depths=(1, 1, 1), base_dims=(16, 16, 32), latent_dim=4,
+                        head_dim=16)
+    w = LossWeights(l1=1.0, lpips=0.0, kl=0.0, vf=0.0,
+                    gan=0.5 if gan else 0.0)
+    tcfg = TrainerConfig(batch_size=2, resolution=resolution, use_lpips=False,
+                         num_epochs=1, steps_per_epoch=steps,
+                         save_every_epochs=1, log_every=100, weights=w,
+                         output_dir=str(tmp_path))
+    return Trainer(mcfg, tcfg)
+
+
+def test_resume_restores_optimizer_structure_and_steps(tmp_path):
+    """Regression: maybe_resume must restore opt_state into the live optax
+    NamedTuple structure — a raw-dict restore crashes tx.update on the first
+    post-resume step ('dict' object has no attribute 'inner_state')."""
+    from deepl_project_tpu.data import batch_iterator, make_dataset
+
+    tr = _micro_trainer(tmp_path, steps=3)
+    data = batch_iterator(make_dataset("synthetic", resolution=16,
+                                       num_samples=64), 2)
+    tr.fit(data)
+
+    tr2 = _micro_trainer(tmp_path, steps=3)
+    state = tr2.create_state(jax.random.PRNGKey(0))
+    state, epoch = tr2.maybe_resume(state)
+    assert int(state.step) == 3
+    # The restored opt_state must be the real optax structure, not dicts.
+    assert hasattr(state.opt_state, "inner_state") or isinstance(
+        state.opt_state, tuple)
+    # And the acid test: one more optimizer step through the restored state.
+    batch = jnp.asarray(np.random.RandomState(0).rand(2, 16, 16, 3),
+                        jnp.float32)
+    state2, metrics = tr2.step_fn(state, batch, jax.random.PRNGKey(1))
+    assert int(state2.step) == 4
+    assert np.isfinite(float(metrics["total"]))
+
+
+def test_resume_gan_stage2_roundtrip(tmp_path):
+    """Stage-2 resume restores discriminator params+opt state structurally."""
+    from deepl_project_tpu.data import batch_iterator, make_dataset
+
+    tr = _micro_trainer(tmp_path, gan=True, steps=2, resolution=32)
+    data = batch_iterator(make_dataset("synthetic", resolution=32,
+                                       num_samples=64), 2)
+    tr.fit(data)
+
+    tr2 = _micro_trainer(tmp_path, gan=True, steps=2, resolution=32)
+    state = tr2.create_state(jax.random.PRNGKey(0))
+    state, _ = tr2.maybe_resume(state)
+    assert tr2._disc_state is not None
+    batch = jnp.asarray(np.random.RandomState(0).rand(2, 32, 32, 3),
+                        jnp.float32)
+    state2, metrics = tr2.step_fn(state, batch, jax.random.PRNGKey(1))
+    assert int(state2.step) == 3
+    assert np.isfinite(float(metrics["total"]))
+
+
+def test_resume_stage1_checkpoint_into_stage2(tmp_path):
+    """Starting GAN stage 2 from a stage-1 checkpoint: generator restores,
+    discriminator starts fresh (the two-stage recipe's hand-off)."""
+    from deepl_project_tpu.data import batch_iterator, make_dataset
+
+    tr = _micro_trainer(tmp_path, gan=False, steps=2)
+    data = batch_iterator(make_dataset("synthetic", resolution=16,
+                                       num_samples=64), 2)
+    tr.fit(data)
+
+    tr2 = _micro_trainer(tmp_path, gan=True, steps=2, resolution=32)
+    state = tr2.create_state(jax.random.PRNGKey(0))
+    state, _ = tr2.maybe_resume(state)
+    assert int(state.step) == 2
+    batch = jnp.asarray(np.random.RandomState(0).rand(2, 32, 32, 3),
+                        jnp.float32)
+    state2, metrics = tr2.step_fn(state, batch, jax.random.PRNGKey(1))
+    assert int(state2.step) == 3
+    assert "disc_loss" in metrics
+    assert np.isfinite(float(metrics["disc_loss"]))
