@@ -131,14 +131,24 @@ def main(argv=None):
 
     # Provenance: record the resolved flag set so every run directory is
     # auditable (scripts/record_run.py collects this + history.jsonl into
-    # the tracked RESULTS/ dir).
+    # the tracked RESULTS/ dir). Process-0 only, and never clobber an earlier
+    # invocation's record — a resume appends a numbered run_args.N.json
+    # instead (ADVICE r3: keep the original run's provenance).
     import json as _json
     import os as _os_prov
     import sys as _sys
 
-    _os_prov.makedirs(args.output_dir, exist_ok=True)
-    with open(_os_prov.path.join(args.output_dir, "run_args.json"), "w") as f:
-        _json.dump({"argv": _sys.argv[1:], "args": vars(args)}, f, indent=1)
+    import jax as _jax
+
+    if _jax.process_index() == 0:
+        _os_prov.makedirs(args.output_dir, exist_ok=True)
+        prov = _os_prov.path.join(args.output_dir, "run_args.json")
+        n = 1
+        while _os_prov.path.exists(prov):
+            prov = _os_prov.path.join(args.output_dir, f"run_args.{n}.json")
+            n += 1
+        with open(prov, "w") as f:
+            _json.dump({"argv": _sys.argv[1:], "args": vars(args)}, f, indent=1)
 
     model_cfg = get_config(args.variant, args.compression_ratio,
                            args.latent_dim, remat=args.gradient_checkpointing,

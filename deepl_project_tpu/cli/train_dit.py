@@ -220,9 +220,16 @@ def main(argv=None):
         fid_feature_fn, fid_key = make_fid_feature_fn()
         fid_key = fid_key.replace("rfid", "gen_fid")
         # Fixed real-image pool for every evaluation (same-protocol curve).
+        # Drawn from a SEPARATE dataset iterator, not the shared training
+        # stream: a resumed run must score against the same real pool as the
+        # original (and must not skew which batches training sees next)
+        # (ADVICE r3).
+        fid_pool_iter = batch_iterator(
+            make_dataset(args.data, args.resolution, with_labels=True),
+            args.batch_size)
         fid_real, seen = [], 0
         while seen < args.fid_samples:
-            b = next(data)[0]
+            b = next(fid_pool_iter)[0]
             fid_real.append(b)
             seen += b.shape[0]
 

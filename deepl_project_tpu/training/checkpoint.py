@@ -72,24 +72,28 @@ def restore_checkpoint(directory: str, abstract_state: Any | None = None,
 
 
 def checkpoint_state_keys(directory: str, step: int | None = None) -> set[str]:
-    """Top-level keys of the saved payload's ``state`` dict, read from orbax's
-    on-disk tree metadata — no array data is loaded. Lets resume decide
+    """Top-level keys of the saved payload's ``state`` dict, read via orbax's
+    public metadata API — no array data is loaded. Lets resume decide
     whether e.g. discriminator state is present before building the abstract
     target tree for a structured restore."""
-    import ast
-
-    if step is None:
-        step = latest_step(directory)
-    meta_path = os.path.join(os.path.abspath(directory), str(step),
-                             "default", "_METADATA")
-    with open(meta_path) as f:
-        tree = json.load(f)["tree_metadata"]
-    keys: set[str] = set()
-    for flat_key in tree:
-        parts = ast.literal_eval(flat_key)
-        if len(parts) > 1 and parts[0] == "state":
-            keys.add(parts[1])
-    return keys
+    # item_handlers must be given explicitly: a fresh manager has no handler
+    # registered for the default item and returns None from item_metadata.
+    mngr = ocp.CheckpointManager(
+        os.path.abspath(directory),
+        options=ocp.CheckpointManagerOptions(create=True),
+        item_handlers=ocp.StandardCheckpointHandler())
+    try:
+        if step is None:
+            step = mngr.latest_step()
+        if step is None:
+            raise FileNotFoundError(f"No checkpoint found in {directory}")
+        metadata = mngr.item_metadata(step)
+        if metadata is None:
+            raise FileNotFoundError(
+                f"No readable checkpoint metadata at {directory} step {step}")
+        return set(metadata["state"].keys())
+    finally:
+        mngr.close()
 
 
 def load_config(directory: str) -> TransVAEConfig:

@@ -195,21 +195,25 @@ class Trainer:
             _abstract_leaf,
             {"params": state.params, "opt_state": state.opt_state,
              "step": state.step})
-        try:
-            keys = checkpoint_state_keys(ckpt_dir, step)
-        except Exception:
-            keys = None
-        if keys is not None and self.use_gan and "disc_params" in keys:
+        # Unreadable metadata means we cannot tell a same-stage resume from a
+        # stage hand-off — degrading to a params-only restore here would
+        # silently reset the optimizer mid-run, so fail loudly instead
+        # (ADVICE r3: do not paper over a corrupt/unreadable checkpoint).
+        keys = checkpoint_state_keys(ckpt_dir, step)
+        if self.use_gan and "disc_params" in keys:
             disc_state = self._ensure_disc_state()
             abstract["disc_params"] = jax.tree_util.tree_map(
                 _abstract_leaf, disc_state.params)
             abstract["disc_opt_state"] = jax.tree_util.tree_map(
                 _abstract_leaf, disc_state.opt_state)
-        use_abstract = keys is not None and keys == set(abstract)
+        use_abstract = keys == set(abstract)
         try:
             payload, meta = restore_checkpoint(
                 ckpt_dir, abstract_state=abstract if use_abstract else None)
-        except Exception as e:
+        except (ValueError, KeyError, TypeError) as e:
+            # Narrowed to tree-structure mismatch errors: genuine I/O or
+            # corruption errors (OSError etc.) must surface, not silently
+            # downgrade the restore (ADVICE r3).
             if not use_abstract:
                 raise
             # Top-level keys matched but the inner tree didn't — e.g. the
@@ -234,7 +238,7 @@ class Trainer:
             # opt_state would crash tx.update, so keep the fresh optimizer
             # state (params and step restore fine — they are plain pytrees).
             print("[trainer] WARNING: checkpoint keys "
-                  f"{sorted(keys) if keys else '<unknown>'} do not match the "
+                  f"{sorted(keys)} do not match the "
                   "live state; restoring params/step only (optimizer state "
                   "reset)")
             restored_params = jax.device_put(

@@ -36,7 +36,23 @@ def git_rev() -> str:
         return "unknown"
 
 
+def _ordered(rows: list[dict]) -> list[dict]:
+    """Sort by (step, ts) and dedupe repeated steps keeping the latest ts.
+
+    RunHistory appends across resumes, so after resuming from an earlier
+    checkpoint stale higher-step rows can precede fresh ones; 'final' must be
+    the max-step row and repeated steps must resolve to the latest write
+    (ADVICE r3)."""
+    rows = sorted(rows, key=lambda r: (r.get("step", 0), r.get("ts", 0)))
+    by_step: dict = {}
+    for r in rows:
+        by_step[(r.get("kind"), r.get("step"))] = r
+    return sorted(by_step.values(),
+                  key=lambda r: (r.get("step", 0), r.get("ts", 0)))
+
+
 def summarize_history(rows: list[dict]) -> dict:
+    rows = _ordered(rows)
     val = [r for r in rows if r.get("kind") == "val"]
     train = [r for r in rows if r.get("kind") == "train"]
     out: dict = {"n_val_points": len(val), "n_train_points": len(train)}
