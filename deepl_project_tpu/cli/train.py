@@ -73,6 +73,10 @@ def build_parser() -> argparse.ArgumentParser:
     # Stage 2
     p.add_argument("--use_gan", action="store_true")
     p.add_argument("--freeze_encoder", action="store_true")
+    p.add_argument("--gan_adaptive_weight", action="store_true",
+                   help="VQGAN adaptive GAN weight ||g_rec||/||g_gan|| on the "
+                        "decoder's last layer (logged as "
+                        "adaptive_gan_weight)")
     # Infra
     p.add_argument("--output_dir", default="outputs")
     p.add_argument("--save_every_epochs", type=int, default=5)
@@ -84,6 +88,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--val_batches", type=int, default=4,
                    help="number of fixed validation batches for "
                         "--eval_every_steps")
+    p.add_argument("--ema_decay", type=float, default=0.0,
+                   help="EMA decay for a shadow copy of the params (0 = off; "
+                        "0.999 typical); eval logs val_psnr_ema and the best "
+                        "checkpoint tracks the EMA model")
+    p.add_argument("--no_keep_best", action="store_true",
+                   help="disable the separate best-val-PSNR checkpoint "
+                        "(checkpoints_best/)")
     p.add_argument("--dino_model", default="facebook/dinov2-base",
                    help="VF teacher model name (used when --vf_weight > 0; "
                         "falls back to a deterministic stub teacher when "
@@ -169,7 +180,9 @@ def main(argv=None):
         save_every_steps=args.save_every_steps,
         eval_every_steps=args.eval_every_steps, output_dir=args.output_dir,
         mesh_model=args.mesh_model, param_sharding=args.param_sharding,
-        mu_dtype=args.mu_dtype, optimizer=args.optimizer)
+        mu_dtype=args.mu_dtype, optimizer=args.optimizer,
+        ema_decay=args.ema_decay, keep_best=not args.no_keep_best,
+        gan_adaptive_weight=args.gan_adaptive_weight)
 
     import os as _os
 

@@ -29,12 +29,21 @@ def _manager(directory: str, max_to_keep: int = 3) -> ocp.CheckpointManager:
 
 def save_checkpoint(directory: str, step: int, state: Any,
                     epoch: int = 0, config: TransVAEConfig | None = None,
-                    max_to_keep: int = 3) -> None:
-    """Save {params, opt_state, step, epoch}; config goes to config.json."""
+                    max_to_keep: int = 3,
+                    metrics: dict[str, float] | None = None) -> None:
+    """Save {params, opt_state, step, epoch}; config goes to config.json.
+    ``metrics`` (e.g. val PSNR for a best-checkpoint dir) go to a
+    metrics.json sidecar — NOT into the orbax payload, whose meta structure
+    must stay fixed for structured restores."""
     os.makedirs(directory, exist_ok=True)
     if config is not None:
         with open(os.path.join(directory, "config.json"), "w") as f:
             json.dump(dataclasses.asdict(config), f, indent=2, default=list)
+    if metrics:
+        with open(os.path.join(directory, "metrics.json"), "w") as f:
+            json.dump({"step": step,
+                       **{k: float(v) for k, v in metrics.items()}}, f,
+                      indent=1)
     payload = {"state": state, "meta": {"epoch": epoch, "step": step}}
     mngr = _manager(directory, max_to_keep)
     mngr.save(step, args=ocp.args.StandardSave(payload))
@@ -96,6 +105,15 @@ def checkpoint_state_keys(directory: str, step: int | None = None) -> set[str]:
         mngr.close()
 
 
+def checkpoint_metrics(directory: str) -> dict | None:
+    """The metrics.json sidecar written with a best checkpoint, or None."""
+    path = os.path.join(directory, "metrics.json")
+    if not os.path.exists(path):
+        return None
+    with open(path) as f:
+        return json.load(f)
+
+
 def load_config(directory: str) -> TransVAEConfig:
     with open(os.path.join(directory, "config.json")) as f:
         raw = json.load(f)
@@ -105,19 +123,25 @@ def load_config(directory: str) -> TransVAEConfig:
     return TransVAEConfig(**raw)
 
 
-def restore_params(directory: str, step: int | None = None):
+def restore_params(directory: str, step: int | None = None,
+                   prefer_ema: bool = True):
     """Restore just the model params from a full train-state checkpoint (for
-    from_pretrained / eval)."""
+    from_pretrained / eval). With prefer_ema (default), an EMA shadow saved
+    by the trainer is returned instead of the raw params — the EMA model is
+    the one best-checkpoint selection scored."""
     state, _ = restore_checkpoint(directory, step=step)
+    if prefer_ema and isinstance(state, dict) and "ema_params" in state:
+        return state["ema_params"]
     params = state["params"] if isinstance(state, dict) and "params" in state else state
     return params
 
 
-def restore_model_params(directory: str, step: int | None = None):
+def restore_model_params(directory: str, step: int | None = None,
+                         prefer_ema: bool = True):
     """Like :func:`restore_params` but also unwraps the trainer's
     {'model': ..., 'vf_proj': ...} split — the params tree a bare
     ``model.apply`` expects."""
-    params = restore_params(directory, step=step)
+    params = restore_params(directory, step=step, prefer_ema=prefer_ema)
     if isinstance(params, dict) and "model" in params:
         params = params["model"]
     return params

@@ -25,22 +25,8 @@ import jax.numpy as jnp
 import optax
 from flax import struct
 
-from .train_step import TrainState, init_train_state  # noqa: F401 (re-export)
-
-
-class EMATrainState(TrainState):
-    """Train state with an exponential-moving-average shadow of the params —
-    the standard DiT/LightningDiT evaluation trick (sample from EMA weights).
-    The reference repo has no EMA anywhere; this is a framework extension."""
-
-    ema_params: Any = None
-
-
-def init_ema_train_state(params: Any, tx: optax.GradientTransformation
-                         ) -> EMATrainState:
-    return EMATrainState(step=jnp.zeros((), jnp.int32), params=params,
-                         opt_state=tx.init(params),
-                         ema_params=jax.tree_util.tree_map(jnp.copy, params))
+from .train_step import (  # noqa: F401 (re-export)
+    EMATrainState, TrainState, init_ema_train_state, init_train_state)
 
 
 class LatentStats(struct.PyTreeNode):

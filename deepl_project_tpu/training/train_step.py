@@ -41,6 +41,28 @@ def init_train_state(params: Any, tx: optax.GradientTransformation) -> TrainStat
                       opt_state=tx.init(params))
 
 
+class EMATrainState(TrainState):
+    """Train state with an exponential-moving-average shadow of the params —
+    the standard DiT/LightningDiT evaluation trick (sample/eval from EMA
+    weights). The reference repo has no EMA anywhere; this is a framework
+    extension (r3 verdict: the VAE's val-PSNR dip needs EMA + best-ckpt)."""
+
+    ema_params: Any = None
+
+
+def init_ema_train_state(params: Any, tx: optax.GradientTransformation
+                         ) -> EMATrainState:
+    return EMATrainState(step=jnp.zeros((), jnp.int32), params=params,
+                         opt_state=tx.init(params),
+                         ema_params=jax.tree_util.tree_map(jnp.copy, params))
+
+
+def _ema_update(ema_decay, ema_params, new_params):
+    return jax.tree_util.tree_map(
+        lambda e, p: ema_decay * e + (1.0 - ema_decay) * p,
+        ema_params, new_params)
+
+
 def make_vf_proj_params(rng: jax.Array, latent_dim: int, dino_dim: int) -> dict:
     """Eagerly create the VF projection (D → C_dino) so it is registered with
     the optimizer from step 0 (ref defect: lazy nn.Linear in vae_loss.py:177-182)."""
@@ -78,6 +100,7 @@ def make_train_step(
     accum_steps: int = 1,
     donate: bool = True,
     param_shardings: Any | None = None,
+    ema_decay: float | None = None,
 ):
     """Build the jitted train step.
 
@@ -88,6 +111,9 @@ def make_train_step(
     param_shardings: optional NamedSharding pytree matching state.params;
     pins the updated params (and their grads) to the FSDP/tensor layout so
     XLA doesn't re-replicate them through the optimizer update.
+
+    ema_decay: with a decay set, ``state`` must be an EMATrainState; the EMA
+    shadow tracks the updated params inside the same compiled program.
     """
 
     def compute_grads(params, batch, rng):
@@ -138,8 +164,12 @@ def make_train_step(
         if param_shardings is not None:
             new_params = jax.lax.with_sharding_constraint(
                 new_params, param_shardings)
+        extra = {}
+        if ema_decay is not None:
+            extra["ema_params"] = _ema_update(ema_decay, state.ema_params,
+                                              new_params)
         new_state = state.replace(step=state.step + 1, params=new_params,
-                                  opt_state=new_opt_state)
+                                  opt_state=new_opt_state, **extra)
         return new_state, metrics
 
     donate_argnums = (0,) if donate else ()
@@ -172,6 +202,7 @@ def make_gan_train_step(
     teacher_fn: Callable | None = None,
     disc_loss_kind: str = "hinge",
     adaptive_weight: bool = False,
+    ema_decay: float | None = None,
 ):
     """Stage-2 adversarial step: one generator update + one discriminator
     update per call, compiled together.
@@ -238,10 +269,14 @@ def make_gan_train_step(
                                        disc_state.params["model"], batch, g_rng)
         g_updates, g_opt = gen_tx.update(g_grads, gen_state.opt_state,
                                          gen_state.params)
+        g_params = optax.apply_updates(gen_state.params, g_updates)
+        extra = {}
+        if ema_decay is not None:
+            extra["ema_params"] = _ema_update(ema_decay, gen_state.ema_params,
+                                              g_params)
         gen_state = gen_state.replace(step=gen_state.step + 1,
-                                      params=optax.apply_updates(
-                                          gen_state.params, g_updates),
-                                      opt_state=g_opt)
+                                      params=g_params, opt_state=g_opt,
+                                      **extra)
 
         # Discriminator update on fresh reconstructions (stop-grad through G).
         recon, _, _ = model.apply({"params": gen_state.params["model"]},

@@ -24,8 +24,8 @@ from ..models.transvae import TransVAE, init_params
 from ..parallel import batch_sharding, create_mesh, shard_params
 from .checkpoint import latest_step, restore_checkpoint, save_checkpoint
 from .optim import make_optimizer
-from .train_step import (TrainState, init_train_state, make_train_step,
-                         make_vf_proj_params)
+from .train_step import (TrainState, init_ema_train_state, init_train_state,
+                         make_train_step, make_vf_proj_params)
 
 
 def jnp_zeros_like_batch(batch):
@@ -63,6 +63,18 @@ class TrainerConfig:
     param_sharding: str = "replicate"  # 'replicate' | 'fsdp' | 'tensor'
     mu_dtype: str | None = None  # 'bfloat16' halves AdamW's first moment
     optimizer: str = "adamw"  # 'adamw' | 'adafactor' (1B-scale single-chip)
+    # EMA shadow of the params (0 = off). The r3 256px run's val PSNR dipped
+    # 2.6 dB below its best at the final step; EMA + best-ckpt retention make
+    # "the checkpoint" the good model. DiT had this; the VAE now does too.
+    ema_decay: float = 0.0
+    # Keep a separate best-val-PSNR checkpoint under checkpoints_best/
+    # (orbax max_to_keep retains the LATEST N, which loses the best model
+    # when training ends on a dip). Needs eval_every_steps + val batches.
+    keep_best: bool = True
+    # Stage 2: rescale the GAN term by the VQGAN adaptive rule
+    # ||grad_last L_rec|| / ||grad_last L_gan|| (what the reference's unused
+    # get_last_layer exists for; SURVEY §2.3).
+    gan_adaptive_weight: bool = False
 
 
 class Trainer:
@@ -120,7 +132,9 @@ class Trainer:
             self._gan_step = make_gan_train_step(
                 self.model, self.disc, self.tx, self.disc_tx,
                 train_config.weights, lpips_params=lpips_params,
-                teacher_fn=teacher_fn)
+                teacher_fn=teacher_fn,
+                adaptive_weight=train_config.gan_adaptive_weight,
+                ema_decay=train_config.ema_decay or None)
             self._disc_state = None
 
             def gan_adapter(state, batch, rng):
@@ -135,8 +149,10 @@ class Trainer:
             self.step_fn = make_train_step(
                 self.model, self.tx, train_config.weights,
                 lpips_params=lpips_params, teacher_fn=teacher_fn,
-                accum_steps=train_config.accum_steps)
+                accum_steps=train_config.accum_steps,
+                ema_decay=train_config.ema_decay or None)
         self._writer = None
+        self._best_psnr = float("-inf")
 
     # -- state -----------------------------------------------------------
     def create_state(self, rng: jax.Array, dino_dim: int | None = None
@@ -147,6 +163,8 @@ class Trainer:
             params["vf_proj"] = make_vf_proj_params(
                 rng, self.model_config.latent_dim, dino_dim)
         params = shard_params(self.mesh, params, self.cfg.param_sharding)
+        if self.cfg.ema_decay:
+            return init_ema_train_state(params, self.tx)
         return init_train_state(params, self.tx)
 
     def _ensure_disc_state(self, batch=None) -> TrainState:
@@ -191,10 +209,11 @@ class Trainer:
                 s = NamedSharding(self.mesh, PartitionSpec())
             return jax.ShapeDtypeStruct(x.shape, x.dtype, sharding=s)
 
-        abstract = jax.tree_util.tree_map(
-            _abstract_leaf,
-            {"params": state.params, "opt_state": state.opt_state,
-             "step": state.step})
+        abstract_src = {"params": state.params, "opt_state": state.opt_state,
+                        "step": state.step}
+        if getattr(state, "ema_params", None) is not None:
+            abstract_src["ema_params"] = state.ema_params
+        abstract = jax.tree_util.tree_map(_abstract_leaf, abstract_src)
         # Unreadable metadata means we cannot tell a same-stage resume from a
         # stage hand-off — degrading to a params-only restore here would
         # silently reset the optimizer mid-run, so fail loudly instead
@@ -232,7 +251,9 @@ class Trainer:
         if use_abstract:
             state = state.replace(step=step_val,
                                   params=payload["params"],
-                                  opt_state=payload["opt_state"])
+                                  opt_state=payload["opt_state"],
+                                  **({"ema_params": payload["ema_params"]}
+                                     if "ema_params" in payload else {}))
         else:
             # Raw restore loses the optax NamedTuple structure; a raw-dict
             # opt_state would crash tx.update, so keep the fresh optimizer
@@ -245,6 +266,11 @@ class Trainer:
                 payload["params"],
                 jax.tree_util.tree_map(lambda x: x.sharding, state.params))
             state = state.replace(step=step_val, params=restored_params)
+            if getattr(state, "ema_params", None) is not None:
+                # Stage hand-off: restart the EMA shadow from the restored
+                # params (the saved shadow, if any, tracked another stage).
+                state = state.replace(ema_params=jax.tree_util.tree_map(
+                    jnp.copy, restored_params))
         if self.use_gan and use_abstract and "disc_params" in payload:
             # A fresh buffer, NOT step_val: the jitted GAN step donates both
             # states, and donating one buffer through two args is an error.
@@ -252,6 +278,14 @@ class Trainer:
                 step=jnp.asarray(int(payload["step"]), jnp.int32),
                 params=payload["disc_params"],
                 opt_state=payload["disc_opt_state"])
+        # Seed best-checkpoint tracking from a prior best dir so a resumed
+        # run can't overwrite a better earlier checkpoint with a worse one.
+        from .checkpoint import checkpoint_metrics
+
+        best_meta = checkpoint_metrics(
+            os.path.join(self.cfg.output_dir, "checkpoints_best"))
+        if best_meta is not None:
+            self._best_psnr = self._selection_psnr(best_meta)
         print(f"[trainer] resumed from step {int(state.step)} "
               f"(epoch {meta['epoch']})")
         return state, meta["epoch"]
@@ -259,20 +293,34 @@ class Trainer:
     # -- validation -------------------------------------------------------
     def evaluate(self, state: TrainState, val_batches: list) -> dict:
         """Mean PSNR/SSIM over fixed validation batches (the reference's
-        acceptance metric — val PSNR, EXPERIMENTS.md:424-437)."""
+        acceptance metric — val PSNR, EXPERIMENTS.md:424-437). With EMA
+        enabled the shadow params are scored too (val_psnr_ema, ...) — the
+        EMA model is what best-checkpoint selection and users should get."""
         from ..evaluation import make_metric_step
 
         if not hasattr(self, "_metric_step"):
             self._metric_step = make_metric_step(self.model)
-        vals: dict[str, list] = {}
-        for batch in val_batches:
-            import jax.numpy as jnp
 
-            _, m = self._metric_step(state.params["model"], jnp.asarray(batch))
-            for k, v in m.items():
-                vals.setdefault(k, []).append(np.asarray(v))
-        return {f"val_{k}": float(np.concatenate(v).mean())
-                for k, v in vals.items()}
+        def run(model_params) -> dict:
+            vals: dict[str, list] = {}
+            for batch in val_batches:
+                import jax.numpy as jnp
+
+                _, m = self._metric_step(model_params, jnp.asarray(batch))
+                for k, v in m.items():
+                    vals.setdefault(k, []).append(np.asarray(v))
+            return {k: float(np.concatenate(v).mean())
+                    for k, v in vals.items()}
+
+        out = {f"val_{k}": v for k, v in run(state.params["model"]).items()}
+        if getattr(state, "ema_params", None) is not None:
+            out.update({f"val_{k}_ema": v for k, v in
+                        run(state.ema_params["model"]).items()})
+        return out
+
+    def _selection_psnr(self, val: dict) -> float:
+        """The PSNR used for best-checkpoint selection: EMA when available."""
+        return val.get("val_psnr_ema", val.get("val_psnr", float("-inf")))
 
     # -- loop ------------------------------------------------------------
     def fit(self, data_iter: Iterator[np.ndarray],
@@ -341,9 +389,15 @@ class Trainer:
                     val = self.evaluate(state, val_batches)
                     writer.scalars(step, val)
                     history.append(step, val, kind="val")
+                    ema_str = (f" ema {val['val_psnr_ema']:.2f}"
+                               if "val_psnr_ema" in val else "")
                     print(f"[trainer] epoch {epoch} step {step} "
-                          f"val_psnr {val['val_psnr']:.2f} dB "
+                          f"val_psnr {val['val_psnr']:.2f} dB{ema_str} "
                           f"val_ssim {val['val_ssim']:.4f}")
+                    sel = self._selection_psnr(val)
+                    if self.cfg.keep_best and sel > self._best_psnr:
+                        self._best_psnr = sel
+                        self.save(state, epoch, best=True, val=val)
             if epoch_metrics:  # epoch-average logging (ref prints epoch avg)
                 avg = {f"epoch_avg/{k}": float(np.mean([m[k]
                                                         for m in epoch_metrics]))
@@ -358,10 +412,17 @@ class Trainer:
         writer.close()
         return state
 
-    def save(self, state: TrainState, epoch: int) -> None:
-        ckpt_dir = os.path.join(self.cfg.output_dir, "checkpoints")
+    def save(self, state: TrainState, epoch: int, best: bool = False,
+             val: dict | None = None) -> None:
+        """Save a training checkpoint. With best=True, saves to the separate
+        checkpoints_best/ dir (max_to_keep=1) with the val metrics in meta —
+        the checkpoint users should evaluate/resume from."""
+        ckpt_dir = os.path.join(
+            self.cfg.output_dir, "checkpoints_best" if best else "checkpoints")
         payload = {"params": state.params, "opt_state": state.opt_state,
                    "step": state.step}
+        if getattr(state, "ema_params", None) is not None:
+            payload["ema_params"] = state.ema_params
         if self.use_gan and getattr(self, "_disc_state", None) is not None:
             payload["disc_params"] = self._disc_state.params
             payload["disc_opt_state"] = self._disc_state.opt_state
@@ -373,5 +434,8 @@ class Trainer:
         if saved_cfg.attention_impl == "auto_train":
             saved_cfg = saved_cfg.replace(attention_impl="auto")
         save_checkpoint(ckpt_dir, int(state.step), payload,
-                        epoch=epoch, config=saved_cfg)
-        print(f"[trainer] saved checkpoint at step {int(state.step)}")
+                        epoch=epoch, config=saved_cfg,
+                        max_to_keep=1 if best else 3,
+                        metrics=val if best else None)
+        tag = " (new best)" if best else ""
+        print(f"[trainer] saved checkpoint at step {int(state.step)}{tag}")

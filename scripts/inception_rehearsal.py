@@ -1,0 +1,145 @@
+#!/usr/bin/env python
+"""Inception rFID release-chain rehearsal (r3 verdict item 7).
+
+The LPIPS chain has a full rehearsal (scripts/convert_rehearsal.py covers the
+torch->JAX model converter; tests/test_lpips_parity.py the LPIPS one). This
+script rehearses the remaining pretrained-aux chain end-to-end so real
+torchvision weights become a pure drop-in (WEIGHTS.md):
+
+  1. Build the local torch InceptionV3 reimplementation (seeded random,
+     scripts/torch_inception.py — same layer names as torchvision).
+  2. Convert with the REAL converter (scripts/convert_inception_weights.py:
+     BN folded into conv, OIHW->HWIO) to an .npz.
+  3. Drop the .npz at the production path deepl_project_tpu/weights/
+     inception_v3.npz and verify evaluation.make_fid_feature_fn dispatches to
+     the InceptionV3 backbone (metric key 'rfid', not the 'vgg_rfid'
+     fallback).
+  4. Torch-vs-JAX pool3 feature parity on [0,1] images at the 299 protocol.
+  5. The full rFID number computed from torch features and from JAX features
+     on the same real/recon image sets must agree.
+
+Writes RESULTS/inception_rehearsal.json. Exit 0 = whole chain green.
+The drop-in file is removed afterwards (random weights must not leak into
+real metric runs).
+
+Usage: PYTHONPATH=/root/repo python scripts/inception_rehearsal.py
+"""
+
+import json
+import os
+import sys
+import time
+
+os.environ.setdefault("XLA_FLAGS", "--xla_force_host_platform_device_count=1")
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+sys.path.insert(0, os.path.join(REPO, "scripts"))
+
+import numpy as np  # noqa: E402
+
+
+def main() -> int:
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
+    import torch  # noqa: F401 (required for the torch side)
+
+    from convert_inception_weights import main as convert_main
+    from torch_inception import InceptionV3Features
+
+    from deepl_project_tpu.utils.fid import fid_from_features
+    from deepl_project_tpu.utils.inception import (DEFAULT_WEIGHTS_PATH,
+                                                   load_inception_params)
+
+    record = {"recorded_at": time.strftime("%Y-%m-%dT%H:%M:%S"), "ok": False}
+    drop_in = os.path.abspath(DEFAULT_WEIGHTS_PATH)
+    assert not os.path.exists(drop_in), (
+        f"{drop_in} already exists — refusing to overwrite real weights")
+
+    rng = np.random.default_rng(0)
+    real = rng.random((16, 96, 96, 3)).astype(np.float32)
+    recon = rng.random((16, 96, 96, 3)).astype(np.float32)
+
+    try:
+        # 1-2: convert through the real converter to the production path.
+        convert_main(["--source", "local", "--seed", "7", "--out", drop_in])
+        record["npz_tensors"] = len(np.load(drop_in).files)
+
+        # 3: dispatch check — with the file present the framework must pick
+        # InceptionV3 and label the metric 'rfid'.
+        from deepl_project_tpu.evaluation import make_fid_feature_fn
+
+        feature_fn, key = make_fid_feature_fn()
+        record["dispatch_key"] = key
+        assert key == "rfid", f"expected inception dispatch, got {key!r}"
+
+        # 4: feature parity torch vs JAX at the 299 bilinear protocol.
+        import torch as th
+
+        net = InceptionV3Features(seed=7, fid_pools=True).eval()
+        params = load_inception_params(drop_in)
+        assert params is not None
+
+        def torch_feats(imgs01: np.ndarray) -> np.ndarray:
+            x = th.from_numpy(np.transpose(imgs01, (0, 3, 1, 2)))
+            x = th.nn.functional.interpolate(
+                x, size=(299, 299), mode="bilinear", align_corners=False)
+            x = x * 2.0 - 1.0
+            with th.no_grad():
+                return net(x).numpy()
+
+        jf_real = np.asarray(feature_fn(real))
+        tf_real = torch_feats(real)
+        err = float(np.max(np.abs(jf_real - tf_real)))
+        rel = err / float(np.max(np.abs(tf_real)) + 1e-12)
+        record["feature_max_abs_err"] = err
+        record["feature_rel_err"] = rel
+        assert rel < 5e-3, f"feature parity rel err {rel}"
+
+        # 5: rFID chain. NOTE: a RANDOM-weight InceptionV3 provably collapses
+        # every input to one constant 2048-vector (measured within-set
+        # feature std ~1e-8 here), so any image-level Fréchet distance is ~0
+        # by construction and an FID-magnitude agreement check would be
+        # vacuous without real weights — exactly the gap WEIGHTS.md closes.
+        # What CAN be rehearsed offline: (a) both sides' features agree
+        # (step 4); (b) the Fréchet formula on non-degenerate synthetic
+        # features matches an independent dense computation; (c) fid of a
+        # set against itself is ~0 through the full JAX feature path.
+        jf_recon = np.asarray(feature_fn(recon))
+        record["feature_collapse_std"] = float(jf_real.std(0).mean())
+        record["rfid_self_jax"] = float(fid_from_features(jf_real, jf_real))
+        assert record["rfid_self_jax"] < 1e-6
+
+        frng = np.random.default_rng(1)
+        A = frng.standard_normal((64, 32)).astype(np.float64)
+        B = (frng.standard_normal((64, 32)) * 1.3 + 0.4).astype(np.float64)
+        got = fid_from_features(A, B)
+        # Independent dense reference: mean-diff + trace terms via eigh.
+        import scipy.linalg as sla
+
+        mu1, mu2 = A.mean(0), B.mean(0)
+        s1 = np.cov(A, rowvar=False)
+        s2 = np.cov(B, rowvar=False)
+        covmean = sla.sqrtm(s1 @ s2)
+        want = float(((mu1 - mu2) ** 2).sum() + np.trace(
+            s1 + s2 - 2 * covmean.real))
+        record["fid_formula_got"] = float(got)
+        record["fid_formula_want"] = want
+        assert abs(got - want) <= 1e-6 * max(1.0, abs(want)), (got, want)
+        record["ok"] = True
+    finally:
+        if os.path.exists(drop_in):
+            os.remove(drop_in)  # random weights must not leak into real runs
+
+    out = os.path.join(REPO, "RESULTS", "inception_rehearsal.json")
+    os.makedirs(os.path.dirname(out), exist_ok=True)
+    with open(out, "w") as f:
+        json.dump(record, f, indent=1)
+    print(json.dumps(record, indent=1))
+    return 0 if record["ok"] else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -405,3 +405,70 @@ def test_resume_stage1_checkpoint_into_stage2(tmp_path):
     assert int(state2.step) == 3
     assert "disc_loss" in metrics
     assert np.isfinite(float(metrics["disc_loss"]))
+
+
+def test_vae_ema_and_best_checkpoint(tmp_path):
+    """r4: EMA shadow params + best-val-PSNR checkpoint retention.
+
+    The r3 256px run ended 2.6 dB below its best with only latest-N orbax
+    retention; the trainer now keeps checkpoints_best/ (max_to_keep=1, with a
+    metrics.json sidecar) selected on the EMA val PSNR."""
+    import os
+
+    from deepl_project_tpu.data import batch_iterator, make_dataset
+    from deepl_project_tpu.training.checkpoint import (checkpoint_metrics,
+                                                       restore_model_params)
+    from deepl_project_tpu.training.trainer import Trainer, TrainerConfig
+
+    mcfg = get_config("tiny_f16d32", dtype="float32", attention_impl="xla")
+    mcfg = mcfg.replace(depths=(1, 1, 1), base_dims=(16, 16, 32), latent_dim=4,
+                        head_dim=16)
+    tcfg = TrainerConfig(batch_size=2, resolution=16, use_lpips=False,
+                         num_epochs=1, steps_per_epoch=4, save_every_epochs=1,
+                         log_every=100, eval_every_steps=2, ema_decay=0.9,
+                         weights=LossWeights(l1=1.0, lpips=0.0, kl=0.0,
+                                             vf=0.0, gan=0.0),
+                         output_dir=str(tmp_path))
+    tr = Trainer(mcfg, tcfg)
+    data = batch_iterator(make_dataset("synthetic", resolution=16,
+                                       num_samples=64), 2)
+    val = [np.random.RandomState(7).rand(2, 16, 16, 3).astype(np.float32)]
+    state = tr.fit(data, val_batches=val)
+
+    # EMA shadow exists and differs from the raw params after 4 steps.
+    assert state.ema_params is not None
+    diff = jax.tree_util.tree_map(
+        lambda e, p: float(jnp.max(jnp.abs(e - p))),
+        state.ema_params, state.params)
+    assert max(jax.tree_util.tree_leaves(diff)) > 0
+
+    # Best checkpoint dir exists with the metrics sidecar.
+    best_dir = os.path.join(str(tmp_path), "checkpoints_best")
+    meta = checkpoint_metrics(best_dir)
+    assert meta is not None and "val_psnr_ema" in meta
+    # restore_model_params prefers the EMA shadow by default.
+    ema_restored = restore_model_params(best_dir)
+    raw_restored = restore_model_params(best_dir, prefer_ema=False)
+    d = jax.tree_util.tree_map(
+        lambda a, b: float(jnp.max(jnp.abs(a - b))), ema_restored, raw_restored)
+    assert max(jax.tree_util.tree_leaves(d)) > 0
+
+    # History logged both raw and EMA val PSNR.
+    import json as _json
+    rows = [_json.loads(line) for line in
+            open(os.path.join(str(tmp_path), "history.jsonl"))]
+    val_rows = [r for r in rows if r["kind"] == "val"]
+    assert val_rows and all("val_psnr_ema" in r for r in val_rows)
+
+    # Resume: EMA restores structurally and best tracking is seeded (a fresh
+    # trainer must not immediately overwrite the best with a worse model).
+    tr2 = Trainer(mcfg, tcfg)
+    state2 = tr2.create_state(jax.random.PRNGKey(0))
+    state2, _ = tr2.maybe_resume(state2)
+    assert int(state2.step) == 4
+    assert state2.ema_params is not None
+    assert tr2._best_psnr == meta["val_psnr_ema"]
+    d2 = jax.tree_util.tree_map(
+        lambda a, b: float(jnp.max(jnp.abs(a - b))),
+        state2.ema_params, state.ema_params)
+    assert max(jax.tree_util.tree_leaves(d2)) == 0
