@@ -63,6 +63,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--steps_per_epoch", type=int, default=1000)
     p.add_argument("--lr", type=float, default=1e-4)
     p.add_argument("--warmup_steps", type=int, default=10_000)
+    p.add_argument("--lr_schedule", default="constant",
+                   choices=["constant", "cosine"],
+                   help="post-warmup LR: constant (reference recipe) or "
+                        "cosine decay over the full run")
     p.add_argument("--seed", type=int, default=42)
     # Losses (reference defaults, patched vae_loss.py:31-38)
     p.add_argument("--l1_weight", type=float, default=1.0)
@@ -182,7 +186,8 @@ def main(argv=None):
         mesh_model=args.mesh_model, param_sharding=args.param_sharding,
         mu_dtype=args.mu_dtype, optimizer=args.optimizer,
         ema_decay=args.ema_decay, keep_best=not args.no_keep_best,
-        gan_adaptive_weight=args.gan_adaptive_weight)
+        gan_adaptive_weight=args.gan_adaptive_weight,
+        lr_schedule=args.lr_schedule)
 
     import os as _os
 

@@ -234,7 +234,7 @@ def make_gan_train_step(
                 m2["decoder"] = dec
                 return {**params, "model": m2}
 
-            def last_grad(loss_name):
+            def last_grad(*loss_names):
                 # Differentiating w.r.t. the final conv kernel only — backprop
                 # stops at the output head, so this costs one extra forward +
                 # a tiny backward, not a full model backward.
@@ -242,10 +242,13 @@ def make_gan_train_step(
                     _, m = _loss_and_metrics(
                         model, with_last_kernel(kernel), images, rng, weights,
                         lpips_params, teacher_fn, disc_apply)
-                    return m[loss_name]
+                    return sum(m[n] for n in loss_names)
                 return jax.grad(f)(get_last_layer(params))
 
-            w = adaptive_gan_weight(last_grad("l1"), last_grad("gan"))
+            # VQGAN rule: ||grad_last L_rec|| / ||grad_last L_gan|| with
+            # L_rec the full reconstruction loss (pixel + perceptual).
+            w = adaptive_gan_weight(last_grad("l1", "lpips"),
+                                    last_grad("gan"))
             total = rec + metrics["kl"] + metrics["vf"] + w * metrics["gan"]
             metrics["adaptive_gan_weight"] = w
             metrics["total"] = total

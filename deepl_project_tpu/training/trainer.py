@@ -75,6 +75,10 @@ class TrainerConfig:
     # ||grad_last L_rec|| / ||grad_last L_gan|| (what the reference's unused
     # get_last_layer exists for; SURVEY §2.3).
     gan_adaptive_weight: bool = False
+    # 'constant' (reference recipe: warmup then flat) or 'cosine' (warmup
+    # then cosine decay over num_epochs*steps_per_epoch — the r3 val-PSNR
+    # dip A/B lever).
+    lr_schedule: str = "constant"
 
 
 class Trainer:
@@ -107,13 +111,25 @@ class Trainer:
                       "using random-init VGG (run scripts/convert_lpips_weights.py)")
         self.lpips_params = lpips_params
 
+        schedule = None
+        if train_config.lr_schedule == "cosine":
+            from .schedule import warmup_cosine
+
+            schedule = warmup_cosine(
+                train_config.learning_rate, train_config.warmup_steps,
+                train_config.num_epochs * train_config.steps_per_epoch)
+        elif train_config.lr_schedule != "constant":
+            raise ValueError(
+                f"lr_schedule must be constant|cosine, got "
+                f"{train_config.lr_schedule!r}")
         self.tx = make_optimizer(
             learning_rate=train_config.learning_rate,
             warmup_steps=train_config.warmup_steps,
             max_grad_norm=train_config.max_grad_norm,
             freeze_encoder=train_config.freeze_encoder,
             mu_dtype=train_config.mu_dtype,
-            optimizer=train_config.optimizer)
+            optimizer=train_config.optimizer,
+            schedule=schedule)
 
         # Stage 2: adversarial finetune with a real PatchGAN discriminator
         # (the reference wires the flags but always passes discriminator=None;
