@@ -233,6 +233,13 @@ def main(argv=None):
             fid_real.append(b)
             seen += b.shape[0]
 
+    best_fid = [float("inf")]
+    # Resumed runs must not overwrite a better earlier best checkpoint.
+    _best_meta = _os.path.join(args.output_dir, "best", "metrics.json")
+    if args.resume and _os.path.exists(_best_meta):
+        with open(_best_meta) as f:
+            best_fid[0] = _json.load(f).get(fid_key or "gen_fid", float("inf"))
+
     def run_fid(state, step):
         from ..training.diffusion import generation_fid
 
@@ -247,6 +254,15 @@ def main(argv=None):
         print(f"step {step}: {fid_key} {fid:.3f} "
               f"({args.fid_samples} samples)")
         history.append(step, {fid_key: fid}, kind="fid")
+        # Best-FID retention (mirrors the VAE trainer's checkpoints_best):
+        # max_to_keep retains the LATEST checkpoints, which loses the best
+        # sampler when training ends off its FID minimum.
+        if fid < best_fid[0]:
+            best_fid[0] = fid
+            best_dir = _os.path.join(args.output_dir, "best")
+            save_checkpoint(best_dir, step, ckpt_payload(state),
+                            max_to_keep=1, metrics={fid_key: fid})
+            print(f"step {step}: new best {fid_key} {fid:.3f} -> {best_dir}")
         return fid
 
     t0, imgs_seen = time.time(), 0

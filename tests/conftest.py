@@ -64,6 +64,7 @@ _SLOW_TESTS = {
     # test_dit
     "test_sample_dit_cli_end_to_end", "test_train_dit_uses_vae_checkpoint_config",
     "test_train_dit_cli_smoke", "test_train_dit_cli_resume",
+    "test_train_dit_cli_best_fid_checkpoint",
     # test_inception_parity
     "test_fallback_params_without_file", "test_rfid_zero_for_identical_sets",
     "test_jax_torch_feature_parity", "test_torchvision_pool_mode_parity",

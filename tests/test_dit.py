@@ -265,3 +265,27 @@ def test_train_dit_uses_vae_checkpoint_config(tmp_path, capsys):
     m = re.search(r"mean\|max\|=([0-9.]+)", txt)
     assert m, txt
     assert float(m.group(1)) < 100.0, txt
+
+
+def test_train_dit_cli_best_fid_checkpoint(tmp_path):
+    """--fid_every keeps a best-FID checkpoint under <output>/best with a
+    metrics.json sidecar (r4: mirrors the VAE trainer's best-ckpt retention)."""
+    import json
+    import os
+
+    from deepl_project_tpu.cli.train_dit import main
+
+    main(["--dit_variant", "S", "--vae_variant", "tiny", "--data", "synthetic",
+          "--resolution", "64", "--batch_size", "2", "--total_steps", "2",
+          "--log_every", "1", "--save_every", "0", "--sample_every", "0",
+          "--stats_batches", "1", "--fid_every", "1", "--fid_samples", "4",
+          "--sample_steps", "2", "--output_dir", str(tmp_path)])
+    meta_path = os.path.join(str(tmp_path), "best", "metrics.json")
+    assert os.path.exists(meta_path)
+    meta = json.load(open(meta_path))
+    fid_keys = [k for k in meta if k.endswith("gen_fid")]
+    assert fid_keys and np.isfinite(meta[fid_keys[0]])
+    # History recorded a fid row per eval.
+    rows = [json.loads(l) for l in open(os.path.join(str(tmp_path),
+                                                     "history.jsonl"))]
+    assert sum(r["kind"] == "fid" for r in rows) == 2
