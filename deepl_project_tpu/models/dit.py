@@ -68,6 +68,15 @@ class DiTConfig:
     dtype: str = "bfloat16"
     param_dtype: str = "float32"
     attention_impl: str = "auto"
+    # Block-stack execution policy (orthogonal to the architecture):
+    # scan_blocks stacks the per-block params on a leading depth axis and runs
+    # the stack as one lax.scan (one compiled block body instead of `depth`
+    # inlined copies). pipeline_axis additionally runs that stacked stack as a
+    # GPipe-style pipeline over the named mesh axis when an ambient mesh
+    # (jax.set_mesh) defines it — see parallel/pipeline.py.
+    scan_blocks: bool = False
+    pipeline_axis: str | None = None
+    pipeline_microbatches: int = 8
 
     @property
     def compute_dtype(self):
@@ -207,6 +216,19 @@ class DiTBlock(nn.Module):
         return x + gate_m[:, None] * h
 
 
+class _DiTScanBody(nn.Module):
+    """One DiT block in lax.scan carry form: (x, cond) -> (x', None). nn.scan
+    over this body stacks the per-block params on a leading depth axis —
+    the layout both scan_blocks and the pipeline stages consume."""
+
+    cfg: DiTConfig
+    grid: tuple
+
+    @nn.compact
+    def __call__(self, x: jax.Array, cond: jax.Array):
+        return DiTBlock(self.cfg, self.grid, name="block")(x, cond), None
+
+
 class DiT(nn.Module):
     """Diffusion transformer over latent grids.
 
@@ -244,8 +266,35 @@ class DiT(nn.Module):
                               name="y_embed")(labels, deterministic)
         cond = t_emb + y_emb.astype(dt)
 
-        for i in range(cfg.depth):
-            x = DiTBlock(cfg, (gh, gw), name=f"block{i}")(x, cond)
+        if cfg.scan_blocks or cfg.pipeline_axis:
+            blocks = nn.scan(_DiTScanBody, variable_axes={"params": 0},
+                             split_rngs={"params": True}, length=cfg.depth,
+                             in_axes=nn.broadcast)(cfg, (gh, gw),
+                                                   name="blocks")
+            from ..parallel.ring_attention import ambient_mesh_has_axis
+
+            if (cfg.pipeline_axis and not self.is_initializing()
+                    and ambient_mesh_has_axis(cfg.pipeline_axis)):
+                # GPipe microbatch pipeline over the 'pipe' mesh axis: each
+                # stage holds depth/P consecutive blocks of the stacked
+                # params. Falls back to the sequential scan when no ambient
+                # mesh defines the axis (single chip, init, tests).
+                from ..parallel.pipeline import pipeline_apply
+
+                stacked = self.variables["params"]["blocks"]
+                body = _DiTScanBody(cfg, (gh, gw))
+
+                def block_fn(p, xb, cb):
+                    return body.apply({"params": p}, xb, cb)[0]
+
+                x = pipeline_apply(block_fn, stacked, x, cond,
+                                   axis=cfg.pipeline_axis,
+                                   num_microbatches=cfg.pipeline_microbatches)
+            else:
+                x, _ = blocks(x, cond)
+        else:
+            for i in range(cfg.depth):
+                x = DiTBlock(cfg, (gh, gw), name=f"block{i}")(x, cond)
 
         # Final adaLN + linear head, zero-init (standard DiT final layer).
         xn = _affine_free_norm(x, cfg.use_rmsnorm)

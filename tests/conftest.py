@@ -80,6 +80,12 @@ _SLOW_TESTS = {
     "test_int8_forward_close_to_float",
     # test_losses
     "test_transvae_loss_full_stack", "test_lpips_positive_on_different",
+    # test_pipeline (8-device shard_map compiles)
+    "test_pipeline_forward_matches_sequential",
+    "test_pipeline_gradients_match_sequential",
+    "test_pipeline_composes_with_dp", "test_pipeline_dit_blocks",
+    "test_dit_model_pipeline_matches_loop",
+    "test_dit_train_step_pipeline_grads",
 }
 
 
