@@ -77,6 +77,14 @@ class DiTConfig:
     scan_blocks: bool = False
     pipeline_axis: str | None = None
     pipeline_microbatches: int = 8
+    # Mixture-of-Experts FFN (Switch top-1; ops/moe.py). 0/1 = dense FFN.
+    # Experts shard over the 'expert' mesh axis (expert parallelism) when an
+    # ambient mesh defines it; the router's load-balance aux loss is sown and
+    # applied by rectified_flow_loss with weight moe_aux_weight.
+    moe_experts: int = 0
+    moe_capacity_factor: float = 1.25
+    moe_aux_weight: float = 0.01
+    moe_axis: str = "expert"
 
     @property
     def compute_dtype(self):
@@ -201,9 +209,18 @@ class DiTBlock(nn.Module):
                         name="proj")(attn.reshape(b, n, d))
         x = x + gate_a[:, None] * attn
 
-        # FFN: SwiGLU (LightningDiT) or GELU MLP (original DiT).
+        # FFN: SwiGLU (LightningDiT) or GELU MLP (original DiT); optionally a
+        # Switch MoE over the 'expert' mesh axis (ops/moe.py).
         h = modulate(norm(x), sh_m, sc_m)
         hidden = int(d * cfg.mlp_ratio)
+        if cfg.moe_experts > 1:
+            from ..ops.moe import SwitchFFN
+
+            moe_hidden = int(2 * hidden / 3) if cfg.use_swiglu else hidden
+            h = SwitchFFN(d, moe_hidden, cfg.moe_experts,
+                          cfg.moe_capacity_factor, cfg.use_swiglu,
+                          cfg.moe_axis, dt, pdt, name="moe_ffn")(h)
+            return x + gate_m[:, None] * h
         if cfg.use_swiglu:
             hidden = int(2 * hidden / 3)  # param-matched SwiGLU width
             a = nn.Dense(hidden, dtype=dt, param_dtype=pdt, name="ffn_gate")(h)

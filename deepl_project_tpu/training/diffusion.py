@@ -69,11 +69,23 @@ def rectified_flow_loss(model, params, z0: jax.Array, labels: jax.Array,
     tb = t[:, None, None, None]
     z_t = (1.0 - tb) * z0 + tb * noise
     target = noise - z0
-    v = model.apply({"params": params}, z_t, t, labels, deterministic=False,
-                    rngs={"label_dropout": d_rng})
+    v, aux_vars = model.apply({"params": params}, z_t, t, labels,
+                              deterministic=False,
+                              rngs={"label_dropout": d_rng},
+                              mutable=["losses"])
     loss = jnp.mean(jnp.square(v.astype(jnp.float32) - target))
-    return loss, {"loss": loss,
-                  "v_norm": jnp.sqrt(jnp.mean(jnp.square(v)))}
+    metrics = {"loss": loss, "v_norm": jnp.sqrt(jnp.mean(jnp.square(v)))}
+    # Sown auxiliary losses (MoE router load balance, ops/moe.py) — weighted
+    # per the model config; a dense model sows nothing and pays nothing.
+    aux_w = getattr(getattr(model, "config", None), "moe_aux_weight", 0.0)
+    if aux_vars.get("losses"):
+        from ..ops.moe import collect_aux_losses
+
+        aux = collect_aux_losses(aux_vars)
+        metrics["moe_aux"] = aux
+        loss = loss + jnp.float32(aux_w) * aux
+        metrics["total"] = loss
+    return loss, metrics
 
 
 def make_dit_train_step(model, tx: optax.GradientTransformation,
