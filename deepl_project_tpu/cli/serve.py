@@ -69,6 +69,13 @@ def build_parser() -> argparse.ArgumentParser:
                    help="reject request bodies larger than this (HTTP 413)")
     p.add_argument("--max_queue", type=int, default=256,
                    help="bounded request queue; excess requests get HTTP 503")
+    p.add_argument("--mesh_model", type=int, default=1,
+                   help="multi-chip serving: tensor-parallel axis size; the "
+                        "remaining devices form a data axis that fans "
+                        "batches out (1 = single device)")
+    p.add_argument("--mesh_sharding", default="tensor",
+                   choices=["tensor", "fsdp", "replicate"],
+                   help="param placement on the serving mesh")
     p.add_argument("--quantize", default=None, choices=["int8"],
                    help="post-training quantization of the serving path "
                         "(ResBlock convs + ConvFFN on the int8 MXU mode; "
@@ -145,9 +152,22 @@ def main(argv=None):
         print(f"[serve] int8-quantized scope={args.quantize_scope} "
               f"(calibrated on synthetic batches at {res}px)")
 
+    mesh = None
+    if args.mesh_model > 1:
+        if args.quantize:
+            # int8 param trees don't follow the TransVAE path rules the
+            # tensor/fsdp shardings key on; replicate them instead.
+            args.mesh_sharding = "replicate"
+        from ..parallel.mesh import create_mesh
+
+        mesh = create_mesh(model=args.mesh_model)
+        print(f"[serve] multi-chip mesh "
+              f"{dict(zip(mesh.axis_names, mesh.devices.shape))} "
+              f"params={args.mesh_sharding}")
     engine = InferenceEngine(model, params, max_batch=args.max_batch,
                              batch_window_ms=args.batch_window_ms,
-                             max_queue=args.max_queue)
+                             max_queue=args.max_queue, mesh=mesh,
+                             param_sharding=args.mesh_sharding)
     if args.warmup_resolution:
         ops = tuple(o for o in args.warmup_ops.split(",") if o)
         dts = tuple(None if d in ("float32", "") else d

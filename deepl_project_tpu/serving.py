@@ -54,8 +54,18 @@ class InferenceEngine:
     """Jit cache + dynamic batcher around one TransVAE model."""
 
     def __init__(self, model, params: Any, max_batch: int = 32,
-                 batch_window_ms: float = 3.0, max_queue: int = 256):
+                 batch_window_ms: float = 3.0, max_queue: int = 256,
+                 mesh=None, param_sharding: str = "tensor"):
         self.model = model
+        self.mesh = mesh
+        if mesh is not None:
+            # Multi-chip serving: shard params over the mesh ('tensor' for
+            # latency — TP collectives ride ICI; 'replicate' for pure
+            # data-parallel throughput). GSPMD propagates through the jitted
+            # ops from the param shardings; batches are placed in run_async.
+            from .parallel.sharding import shard_params
+
+            params = shard_params(mesh, params, param_sharding)
         self.params = params
         self.max_batch = max_batch
         self.batch_window_s = batch_window_ms / 1e3
@@ -129,8 +139,25 @@ class InferenceEngine:
         in_uint8 = arr.dtype == np.uint8
         x = (jnp.asarray(arr) if in_uint8
              else jnp.asarray(arr, dtype=self.model.config.compute_dtype))
+        if self.mesh is not None:
+            x = jax.device_put(x, self._batch_sharding(x.shape[0]))
+            with jax.set_mesh(self.mesh):
+                return self._compiled_for(op, x.shape, out_dtype, in_uint8)(
+                    self.params, x)
         return self._compiled_for(op, x.shape, out_dtype, in_uint8)(
             self.params, x)
+
+    def _batch_sharding(self, b: int):
+        """Batch placement on the serving mesh: shard over 'data' when the
+        bucketed batch divides it (data-parallel fan-out), else replicate
+        (model-parallel-only compute, e.g. a single giant-variant request)."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        n_data = dict(zip(self.mesh.axis_names, self.mesh.devices.shape)
+                      ).get("data", 1)
+        if n_data > 1 and b % n_data == 0:
+            return NamedSharding(self.mesh, P("data"))
+        return NamedSharding(self.mesh, P())
 
     def run(self, op: str, arr: np.ndarray,
             out_dtype: str | None = None) -> np.ndarray:
@@ -303,6 +330,8 @@ class InferenceEngine:
     def stats(self) -> dict:
         return {
             "device": str(jax.devices()[0]),
+            "mesh": (dict(zip(self.mesh.axis_names, self.mesh.devices.shape))
+                     if self.mesh is not None else None),
             "variant": self.model.config.variant,
             "compiled_programs": sorted(
                 "/".join(map(str, k)) for k in list(self._compiled)),

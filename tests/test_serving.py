@@ -315,3 +315,55 @@ def test_https_round_trip(engine, tmp_path):
     finally:
         server.shutdown()
         engine.stop()
+
+
+def test_mesh_engine_matches_single_device(engine):
+    """Multi-chip serving (data x model mesh, tensor-sharded params) must
+    return exactly what the single-device engine returns, for both the
+    data-sharded (batch % data == 0) and replicated (odd batch) placements."""
+    from deepl_project_tpu.parallel.mesh import create_mesh
+
+    mesh = create_mesh(model=2)  # 4x1x2 (data, context, model) on 8 devices
+    mesh_engine = InferenceEngine(engine.model, engine.params, max_batch=8,
+                                  mesh=mesh, param_sharding="tensor")
+    x = np.random.rand(4, 16, 16, 3).astype(np.float32)
+    ref = engine.run("reconstruct", x)
+    out = mesh_engine.run("reconstruct", x)
+    np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-6)
+    odd = x[:3]  # pads to 4; placement still decided on the bucketed batch
+    np.testing.assert_allclose(mesh_engine.run("reconstruct", odd),
+                               ref[:3], rtol=1e-5, atol=1e-6)
+    mu = mesh_engine.run("encode", x)
+    np.testing.assert_allclose(mu, engine.run("encode", x), rtol=1e-5,
+                               atol=1e-6)
+    assert mesh_engine.stats()["mesh"] == {"data": 4, "context": 1,
+                                           "model": 2}
+
+
+def test_mesh_engine_http_round_trip(engine):
+    """The HTTP layer is mesh-agnostic: a full round trip through a
+    mesh-backed engine serves the same bytes contract."""
+    from deepl_project_tpu.parallel.mesh import create_mesh
+
+    mesh = create_mesh(model=2)
+    mesh_engine = InferenceEngine(engine.model, engine.params, max_batch=8,
+                                  batch_window_ms=5.0, mesh=mesh)
+    mesh_engine.start()
+    server = make_http_server(mesh_engine, "127.0.0.1", 0)
+    port = server.server_address[1]
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    try:
+        x = np.random.rand(2, 16, 16, 3).astype(np.float32)
+        buf = io.BytesIO()
+        np.save(buf, x)
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/reconstruct", data=buf.getvalue(),
+            headers={"Content-Type": "application/octet-stream"})
+        with urllib.request.urlopen(req, timeout=60) as resp:
+            out = np.load(io.BytesIO(resp.read()))
+        np.testing.assert_allclose(out, engine.run("reconstruct", x),
+                                   rtol=1e-5, atol=1e-6)
+    finally:
+        server.shutdown()
+        mesh_engine.stop()
