@@ -75,7 +75,21 @@ def restore_checkpoint(directory: str, abstract_state: Any | None = None,
             "meta": {"epoch": 0, "step": 0}}
         payload = mngr.restore(step, args=ocp.args.StandardRestore(abstract))
     else:
-        payload = mngr.restore(step)
+        try:
+            payload = mngr.restore(step)
+        except ValueError as e:
+            # Cross-platform restore (e.g. exporting a TPU-trained checkpoint
+            # on a CPU-only process): the saved sharding names devices that
+            # don't exist here. Rebuild an abstract tree from the metadata
+            # with no shardings so orbax restores to the default device.
+            if "jax.local_devices" not in str(e):
+                raise
+            meta = mngr.item_metadata(step)
+            abstract = jax.tree_util.tree_map(
+                lambda m: jax.ShapeDtypeStruct(m.shape, m.dtype)
+                if hasattr(m, "shape") else m, meta)
+            payload = mngr.restore(step,
+                                   args=ocp.args.StandardRestore(abstract))
     mngr.close()
     return payload["state"], payload["meta"]
 

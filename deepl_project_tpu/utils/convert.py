@@ -176,6 +176,76 @@ def torch_state_dict_to_params(state_dict: Mapping[str, np.ndarray],
     return out
 
 
+def _seq_name(top: str, sub: str, name: str) -> str:
+    """Map a resample submodule name back to the reference's nn.Sequential
+    index (Downsample main_path = [conv, act, conv] → 0/2; Upsample
+    main_path = [up, conv, act, conv] → 1/3)."""
+    if sub.startswith("down"):
+        return {"main_0": "main_path.0", "main_1": "main_path.2"}[name]
+    return {"main_0": "main_path.1", "main_1": "main_path.3"}[name]
+
+
+def params_to_torch_state_dict(params: Mapping[str, Any],
+                               config: TransVAEConfig) -> dict:
+    """Inverse of :func:`torch_state_dict_to_params`: emit this package's
+    model params as a reference-layout torch state_dict (numpy values) so
+    TPU-trained checkpoints load back into the PyTorch reference
+    (ref: transvae-implementation/transvae/models/transvae.py naming).
+
+    RoPE ``inv_freq`` buffers are deliberately absent (the reference
+    recomputes them at construction; load with ``strict=False`` or restore
+    into a freshly built model whose buffers already exist). Weight-layout
+    transforms are shape-driven: HWIO conv kernels → OIHW, [in,out] dense
+    kernels → [out,in], ``scale`` → ``weight``.
+    """
+    flat: dict[tuple, np.ndarray] = {}
+
+    def walk(node, path):
+        if isinstance(node, Mapping):
+            for k, v in node.items():
+                walk(v, path + (k,))
+        else:
+            flat[path] = np.asarray(node)
+
+    walk(params, ())
+
+    out: dict[str, np.ndarray] = {}
+    for path, tensor in flat.items():
+        leaf = path[-1]
+        if leaf == "kernel":
+            torch_leaf = "weight"
+            tensor = (np.ascontiguousarray(np.transpose(tensor, (3, 2, 0, 1)))
+                      if tensor.ndim == 4 else
+                      np.ascontiguousarray(tensor.T))
+        elif leaf == "scale":
+            torch_leaf = "weight"
+        elif leaf == "bias":
+            torch_leaf = "bias"
+        else:
+            raise ValueError(f"Unexpected param leaf {'.'.join(path)}")
+
+        mods = []
+        for name in path[:-1]:
+            if name.startswith("stage") and "_block" in name:
+                i, j = name[5:].split("_block")
+                mods += ["stages", i, j]
+            elif name.startswith("down"):
+                mods += ["downsamples", name[4:]]
+            elif name.startswith("up") and name[2:].isdigit():
+                mods += ["upsamples", name[2:]]
+            elif name in ("main_0", "main_1"):
+                mods.append(_seq_name(path[0], path[1], name))
+            elif name == "conv_dw":
+                mods.append("conv")
+            elif name in ("conv_0", "conv_1", "conv_2"):
+                mods.append({"conv_0": "conv.0", "conv_1": "conv.2",
+                             "conv_2": "conv.4"}[name])
+            else:
+                mods.append(name)
+        out[".".join(mods + [torch_leaf])] = tensor
+    return out
+
+
 def load_reference_checkpoint(path: str, config: TransVAEConfig) -> dict:
     """Load a torch .pt checkpoint (file with model_state_dict or raw
     state_dict) and convert. Requires torch importable."""

@@ -154,3 +154,44 @@ def test_load_reference_checkpoint_file(tmp_path, ref_pair):
     a = model.apply({"params": params}, jnp.asarray(z), method="decode")
     b = model.apply({"params": loaded}, jnp.asarray(z), method="decode")
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_export_roundtrip_and_loads_into_reference(ref_pair):
+    """params → torch state_dict must (a) byte-round-trip through the
+    forward converter and (b) load into the live reference model with only
+    RoPE inv_freq buffers missing, reproducing the original outputs."""
+    from deepl_project_tpu.utils.convert import params_to_torch_state_dict
+
+    ref, model, params = ref_pair
+    cfg = model.config
+    sd_out = params_to_torch_state_dict(params, cfg)
+
+    # (a) exact round trip (transposes are involutions; no value drift).
+    back = torch_state_dict_to_params(sd_out, cfg)
+    ref_flat = jax.tree_util.tree_leaves_with_path(params)
+    back_flat = dict(jax.tree_util.tree_leaves_with_path(back))
+    assert len(ref_flat) == len(back_flat)
+    for path, leaf in ref_flat:
+        np.testing.assert_array_equal(np.asarray(leaf),
+                                      np.asarray(back_flat[path]), str(path))
+
+    # (b) the reference accepts the exported dict: no unexpected keys, and
+    # the only missing ones are the recomputed rope buffers.
+    import copy
+
+    ref2 = copy.deepcopy(ref)
+    with torch.no_grad():  # perturb so a failed load can't silently pass
+        for p in ref2.parameters():
+            p.add_(1.0)
+    missing, unexpected = ref2.load_state_dict(
+        {k: torch.from_numpy(np.ascontiguousarray(v))
+         for k, v in sd_out.items()}, strict=False)
+    assert not unexpected, unexpected
+    assert all("rope" in k for k in missing), missing
+
+    x = np.random.RandomState(7).rand(2, 32, 32, 3).astype(np.float32)
+    with torch.no_grad():
+        mu_a, _ = ref.encode(_to_torch(x))
+        mu_b, _ = ref2.encode(_to_torch(x))
+    np.testing.assert_allclose(mu_b.numpy(), mu_a.numpy(), rtol=1e-6,
+                               atol=1e-6)
