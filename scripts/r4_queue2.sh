@@ -32,8 +32,12 @@ run() { # run <bound_s> <tag> <cmd...>
   echo "[$(stamp)] END $tag rc=$rc"
 }
 
-# Tunnel cooldown after the wedge recovery, then prove the chip answers.
-sleep 90
+commit_results() { # commit_results <msg>
+  git add RESULTS/ && git commit -m "$1" || true
+}
+
+# Prove the chip answers before the first job.
+sleep 5
 probe
 
 # ---- 2a. Stage 1: complete loss + EMA + best-ckpt + cosine LR --------------
@@ -48,6 +52,7 @@ run 9000 two_stage_s1 python -m deepl_project_tpu.cli.train \
 python scripts/record_run.py --run_dir runs/two_stage_tiny256 \
     --name two_stage_tiny256_s1 \
     --note "stage-1, complete loss: l1=1 lpips=1 (RANDOM-HEAD VGG — no pretrained weights in env, see WEIGHTS.md) kl=1e-8 vf=0.1 (stub teacher); ema 0.999, best-ckpt on val_psnr_ema, cosine LR (val-PSNR-dip lever vs r3's constant-LR run)" || true
+commit_results "RESULTS: two-stage stage-1 run record (complete loss + EMA + cosine LR)"
 probe
 
 # ---- 2b. Stage 2: +GAN, frozen encoder, adaptive weight, same lineage ------
@@ -68,6 +73,7 @@ run 6000 two_stage_s2 python -m deepl_project_tpu.cli.train \
 python scripts/record_run.py --run_dir runs/two_stage_tiny256_s2 \
     --name two_stage_tiny256_s2 \
     --note "stage-2 from the stage-1 checkpoint: +gan 0.05 (PatchGAN, hinge), frozen encoder, VQGAN adaptive weight ON (adaptive_gan_weight traced in history), ema 0.999, constant LR 1e-4" || true
+commit_results "RESULTS: two-stage stage-2 run record (+GAN, frozen encoder, adaptive weight)"
 probe
 
 # ---- 2c. Before/after evals on the two best checkpoints --------------------
@@ -80,6 +86,7 @@ run 1800 eval_s2 python -m deepl_project_tpu.cli.evaluate \
     --resolution 256 --no_lpips --num_batches 8 --rfid \
     --output_dir runs/two_stage_tiny256_s2/eval_best
 python scripts/record_two_stage.py || true
+commit_results "RESULTS: two-stage before/after eval record (VERDICT r3 item 3)"
 probe
 
 # ---- 2d. Interop proof on a REAL trained checkpoint (CPU-pinned, no TPU) ---
@@ -98,9 +105,11 @@ run 6000 dit_fid python -m deepl_project_tpu.cli.train_dit \
 python scripts/record_run.py --run_dir runs/dit_s_tiny256 \
     --name dit_s_tiny256_fid \
     --note "DiT-S/2 rectified flow on two_stage_tiny256 stage-1 latents (shapes, unconditional); gen_fid = vgg-feature FID every 500 steps, 128 samples, 50 Euler steps" || true
+commit_results "RESULTS: DiT-S/2 generation-FID trajectory record (VERDICT r3 item 6)"
 probe
 
 # ---- 4. Final full bench: fp32 headline + int8 lever (driver cache warm) ---
-run 2400 bench_final python bench.py
+run 2400 bench_final bash -c 'python bench.py | tee RESULTS/bench_r4_queue.json'
+commit_results "RESULTS: r4 queue final bench line (warm driver cache)"
 
 echo "[$(stamp)] R4 QUEUE2 DONE"
