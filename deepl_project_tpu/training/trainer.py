@@ -359,6 +359,33 @@ class Trainer:
         if os.environ.get("DEEPL_DEBUG_NANS"):
             jax.config.update("jax_debug_nans", True)
 
+        # Preemption-safe shutdown: preemptible TPU VMs get SIGTERM with a
+        # short grace window. Trap it (and Ctrl-C), finish the in-flight step,
+        # checkpoint, and return — maybe_resume picks the run back up exactly
+        # where it stopped. The reference can lose up to save_every_epochs of
+        # work on preemption (ref: train.py:739-742 saves on epoch boundaries
+        # only). Handlers are restored on exit; a second signal during the
+        # final save falls through to the previous handler.
+        import signal
+
+        stop_signal: list[int | None] = [None]
+        prev_handlers: dict[int, Any] = {}
+
+        def _request_stop(signum, frame):
+            if stop_signal[0] is not None:  # second signal: don't swallow it
+                prev = prev_handlers.get(signum)
+                signal.signal(signum, prev or signal.SIG_DFL)
+                raise KeyboardInterrupt
+            stop_signal[0] = signum
+            print(f"[trainer] received signal {signum}: will checkpoint and "
+                  "stop after the current step")
+
+        for sig in (signal.SIGTERM, signal.SIGINT):
+            try:
+                prev_handlers[sig] = signal.signal(sig, _request_stop)
+            except ValueError:  # not the main thread (e.g. under a test runner)
+                pass
+
         rng = jax.random.PRNGKey(self.cfg.seed)
         if state is None:
             state = self.create_state(rng, dino_dim=self.dino_dim)
@@ -373,6 +400,18 @@ class Trainer:
         # would force a device sync per step and serialize the pipeline; sync
         # happens only on log/save boundaries.
         step = int(state.step)
+        try:
+            state = self._fit_loop(state, data_iter, val_batches, writer,
+                                   history, sharding, timer, rng, step,
+                                   start_epoch, stop_signal)
+        finally:
+            for sig, prev in prev_handlers.items():
+                signal.signal(sig, prev)
+        writer.close()
+        return state
+
+    def _fit_loop(self, state, data_iter, val_batches, writer, history,
+                  sharding, timer, rng, step, start_epoch, stop_signal):
         for epoch in range(start_epoch, self.cfg.num_epochs):
             # Epoch averages are over the sampled log points (every log_every
             # steps) — the reference averages every step, but that costs a
@@ -414,6 +453,14 @@ class Trainer:
                     if self.cfg.keep_best and sel > self._best_psnr:
                         self._best_psnr = sel
                         self.save(state, epoch, best=True, val=val)
+                if stop_signal[0] is not None:
+                    break
+            if stop_signal[0] is not None:
+                self.save(state, epoch)
+                print(f"[trainer] stopped by signal {stop_signal[0]} at step "
+                      f"{step}; checkpoint saved, resume with the same "
+                      "--output_dir")
+                break
             if epoch_metrics:  # epoch-average logging (ref prints epoch avg)
                 avg = {f"epoch_avg/{k}": float(np.mean([m[k]
                                                         for m in epoch_metrics]))
@@ -425,7 +472,6 @@ class Trainer:
             if ((epoch + 1) % self.cfg.save_every_epochs == 0
                     or epoch == self.cfg.num_epochs - 1):
                 self.save(state, epoch)
-        writer.close()
         return state
 
     def save(self, state: TrainState, epoch: int, best: bool = False,

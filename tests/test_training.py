@@ -472,3 +472,38 @@ def test_vae_ema_and_best_checkpoint(tmp_path):
         lambda a, b: float(jnp.max(jnp.abs(a - b))),
         state2.ema_params, state.ema_params)
     assert max(jax.tree_util.tree_leaves(d2)) == 0
+
+
+def test_trainer_sigterm_checkpoints_and_stops(tmp_path):
+    """Preemption safety: SIGTERM mid-run finishes the in-flight step, saves a
+    resumable checkpoint, and returns (preemptible TPU VMs get SIGTERM with a
+    short grace window; the reference only saves on epoch boundaries,
+    ref: train.py:739-742)."""
+    import os
+    import signal
+
+    from deepl_project_tpu.data import batch_iterator, make_dataset
+    from deepl_project_tpu.training.checkpoint import latest_step
+
+    tr = _micro_trainer(tmp_path, steps=50)
+    tr.cfg.save_every_epochs = 99  # only the preemption save may fire
+
+    def signalling_iter():
+        inner = batch_iterator(
+            make_dataset("synthetic", resolution=16, num_samples=512), 2)
+        for i, batch in enumerate(inner):
+            if i == 2:  # delivered at a bytecode boundary inside step 3
+                os.kill(os.getpid(), signal.SIGTERM)
+            yield batch
+
+    prev = signal.getsignal(signal.SIGTERM)
+    tr.fit(signalling_iter())
+    # The signal landed during step 3 => exactly one save, at step 3.
+    assert latest_step(str(tmp_path / "checkpoints")) == 3
+    # Handlers restored after fit.
+    assert signal.getsignal(signal.SIGTERM) is prev
+
+    # The checkpoint is resumable: a fresh trainer picks up at step 3.
+    tr2 = _micro_trainer(tmp_path, steps=2)
+    state2, _ = tr2.maybe_resume(tr2.create_state(jax.random.PRNGKey(0)))
+    assert int(state2.step) == 3
