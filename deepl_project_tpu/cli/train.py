@@ -68,6 +68,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="post-warmup LR: constant (reference recipe) or "
                         "cosine decay over the full run")
     p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--skip_data_on_resume", action="store_true",
+                   help="on resume, fast-forward the data stream by the "
+                        "restored step count (exact data-position continuity; "
+                        "costs one decode per skipped batch)")
     # Losses (reference defaults, patched vae_loss.py:31-38)
     p.add_argument("--l1_weight", type=float, default=1.0)
     p.add_argument("--lpips_weight", type=float, default=1.0)
@@ -187,7 +191,8 @@ def main(argv=None):
         mu_dtype=args.mu_dtype, optimizer=args.optimizer,
         ema_decay=args.ema_decay, keep_best=not args.no_keep_best,
         gan_adaptive_weight=args.gan_adaptive_weight,
-        lr_schedule=args.lr_schedule)
+        lr_schedule=args.lr_schedule,
+        skip_data_on_resume=args.skip_data_on_resume)
 
     import os as _os
 

@@ -79,6 +79,14 @@ class TrainerConfig:
     # then cosine decay over num_epochs*steps_per_epoch — the r3 val-PSNR
     # dip A/B lever).
     lr_schedule: str = "constant"
+    # On resume, advance the data stream by the restored step count so the
+    # run continues from its exact data position instead of replaying the
+    # stream prefix (one batch is consumed per optimizer step; grad accum
+    # microbatching lives inside the step). Off by default: fast-forwarding
+    # a streaming/decoded source costs one decode per skipped batch, and the
+    # reference's own resume semantics also restart the sampler (ref:
+    # train_2.py:478-497 restores step/epoch but DataLoader order resets).
+    skip_data_on_resume: bool = False
 
 
 class Trainer:
@@ -400,6 +408,12 @@ class Trainer:
         # would force a device sync per step and serialize the pipeline; sync
         # happens only on log/save boundaries.
         step = int(state.step)
+        if step and self.cfg.skip_data_on_resume:
+            print(f"[trainer] skip_data_on_resume: advancing the data stream "
+                  f"by {step} batches to the resume point")
+            for _ in range(step):
+                if next(data_iter, None) is None:
+                    break
         try:
             state = self._fit_loop(state, data_iter, val_batches, writer,
                                    history, sharding, timer, rng, step,

@@ -507,3 +507,28 @@ def test_trainer_sigterm_checkpoints_and_stops(tmp_path):
     tr2 = _micro_trainer(tmp_path, steps=2)
     state2, _ = tr2.maybe_resume(tr2.create_state(jax.random.PRNGKey(0)))
     assert int(state2.step) == 3
+
+
+def test_trainer_skip_data_on_resume(tmp_path):
+    """skip_data_on_resume fast-forwards the stream by the restored step count
+    (1 batch per optimizer step), giving exact data-position continuity."""
+    from deepl_project_tpu.data import batch_iterator, make_dataset
+
+    def counting_iter(counter):
+        inner = batch_iterator(
+            make_dataset("synthetic", resolution=16, num_samples=512), 2)
+        for batch in inner:
+            counter[0] += 1
+            yield batch
+
+    tr = _micro_trainer(tmp_path, steps=3)
+    c1 = [0]
+    tr.fit(counting_iter(c1))
+    assert c1[0] == 3
+
+    tr2 = _micro_trainer(tmp_path, steps=2)  # resumes at epoch 0: 2 steps
+    tr2.cfg.skip_data_on_resume = True
+    c2 = [0]
+    tr2.fit(counting_iter(c2))
+    # 3 skipped (resume point) + 2 trained.
+    assert c2[0] == 5
