@@ -8,6 +8,7 @@ counters — the things the reference lacked.
 
 from __future__ import annotations
 
+import collections
 import contextlib
 import time
 from typing import Mapping
@@ -87,26 +88,44 @@ class RunHistory:
 
 
 class StepTimer:
-    """Images/sec + step-time tracking with warmup exclusion."""
+    """Images/sec + step-time tracking with warmup exclusion.
 
-    def __init__(self, warmup: int = 2):
+    ``images_per_sec`` is a trailing-window rate (last ``window`` ticks), not
+    a run-cumulative average: a cumulative rate never recovers from one-off
+    stalls (validation passes, checkpoint saves, host contention) and
+    understates the steady state for the rest of the run. ``window=0`` keeps
+    the old cumulative behavior."""
+
+    def __init__(self, warmup: int = 2, window: int = 50):
         self.warmup = warmup
+        self.window = window
         self._count = 0
         self._images = 0
         self._t0 = None
+        self._ticks: collections.deque = collections.deque(
+            maxlen=window + 1 if window else None)
 
     def tick(self, batch_size: int) -> None:
         self._count += 1
         if self._count == self.warmup:
             self._t0 = time.perf_counter()
             self._images = 0
+            self._ticks.clear()
+            self._ticks.append((self._t0, 0))
         elif self._count > self.warmup:
             self._images += batch_size
+            self._ticks.append((time.perf_counter(), batch_size))
 
     @property
     def images_per_sec(self) -> float:
         if self._t0 is None or self._images == 0:
             return 0.0
+        if self.window and len(self._ticks) >= 2:
+            t_start = self._ticks[0][0]
+            images = sum(n for _, n in list(self._ticks)[1:])
+            dt = self._ticks[-1][0] - t_start
+            if dt > 0:
+                return images / dt
         return self._images / (time.perf_counter() - self._t0)
 
 

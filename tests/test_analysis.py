@@ -112,3 +112,32 @@ def test_reference_flops_table():
 
     with pytest.raises(KeyError):
         reference_flops_per_image("large", res=333)  # unpinned point
+
+
+def test_step_timer_windowed_rate_recovers_from_stall():
+    """images_per_sec is a trailing-window rate: a one-off stall (validation,
+    checkpoint save) outside the window does not depress it; window=0 keeps
+    the cumulative behavior."""
+    import time as _time
+
+    from deepl_project_tpu.utils.logging import StepTimer
+
+    t = StepTimer(warmup=1, window=5)
+    t.tick(4)
+    for _ in range(3):
+        t.tick(4)
+        _time.sleep(0.02)
+    _time.sleep(0.4)  # stall, then 6 fast ticks push it out of the window
+    for _ in range(6):
+        t.tick(4)
+        _time.sleep(0.02)
+    assert t.images_per_sec > 100  # ~4/0.02 = 200; stall would give ~40
+
+    t_cum = StepTimer(warmup=1, window=0)
+    t_cum.tick(4)
+    for _ in range(3):
+        t_cum.tick(4)
+        _time.sleep(0.02)
+    _time.sleep(0.4)
+    t_cum.tick(4)
+    assert t_cum.images_per_sec < 100  # cumulative sees the stall
