@@ -63,9 +63,17 @@ def summarize_history(rows: list[dict]) -> dict:
         out["final_val_psnr"] = val[-1].get("val_psnr")
         out["final_val_ssim"] = val[-1].get("val_ssim")
         out["final_val_step"] = val[-1].get("step")
+        # EMA-run fields (the trainer selects best checkpoints on EMA PSNR).
+        if any("val_psnr_ema" in r for r in val):
+            best_ema = max(val, key=lambda r: r.get("val_psnr_ema", -1))
+            out["best_val_psnr_ema"] = best_ema.get("val_psnr_ema")
+            out["best_val_ema_step"] = best_ema.get("step")
+            out["final_val_psnr_ema"] = val[-1].get("val_psnr_ema")
         out["val_curve"] = [
             {"step": r["step"], "psnr": round(r.get("val_psnr", 0), 3),
-             "ssim": round(r.get("val_ssim", 0), 4)} for r in val]
+             "ssim": round(r.get("val_ssim", 0), 4),
+             **({"psnr_ema": round(r["val_psnr_ema"], 3)}
+                if "val_psnr_ema" in r else {})} for r in val]
     if train:
         out["final_train_loss"] = train[-1].get("total")
         ips = [r["images_per_sec"] for r in train
