@@ -85,6 +85,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="VQGAN adaptive GAN weight ||g_rec||/||g_gan|| on the "
                         "decoder's last layer (logged as "
                         "adaptive_gan_weight)")
+    p.add_argument("--gan_warmup_steps", type=int, default=500,
+                   help="VQGAN disc_start analogue: generator GAN term is "
+                        "zeroed until the fresh discriminator has taken this "
+                        "many steps (prevents the adaptive-ratio explosion)")
     # Infra
     p.add_argument("--output_dir", default="outputs")
     p.add_argument("--save_every_epochs", type=int, default=5)
@@ -191,6 +195,7 @@ def main(argv=None):
         mu_dtype=args.mu_dtype, optimizer=args.optimizer,
         ema_decay=args.ema_decay, keep_best=not args.no_keep_best,
         gan_adaptive_weight=args.gan_adaptive_weight,
+        gan_warmup_steps=args.gan_warmup_steps,
         lr_schedule=args.lr_schedule,
         skip_data_on_resume=args.skip_data_on_resume)
 

@@ -203,6 +203,7 @@ def make_gan_train_step(
     disc_loss_kind: str = "hinge",
     adaptive_weight: bool = False,
     ema_decay: float | None = None,
+    gan_warmup_steps: int = 0,
 ):
     """Stage-2 adversarial step: one generator update + one discriminator
     update per call, compiled together.
@@ -212,16 +213,31 @@ def make_gan_train_step(
     With adaptive_weight=True the GAN term is rescaled by the VQGAN rule
     ||∇_last L_rec|| / ||∇_last L_gan|| computed on the decoder's final conv
     (what the reference's unused get_last_layer exists for).
+
+    gan_warmup_steps is the VQGAN ``disc_start`` analogue, keyed on the
+    DISCRIMINATOR's step count (so it is warmup-relative even when the
+    generator resumes from a stage-1 checkpoint at step 6000): while the
+    discriminator has taken fewer than this many steps, the generator's GAN
+    term is zeroed — only the discriminator trains. Without it, a fresh
+    random discriminator yields near-zero ||∇_last L_gan|| and the adaptive
+    ratio explodes (measured 41.9x at stage-2 start, r4: -22 dB val PSNR in
+    100 steps; RESULTS/two_stage_tiny256.json).
     Returns fn(gen_state, disc_state, batch, rng) -> (gen_state, disc_state,
     metrics).
     """
     from ..models.transvae import adaptive_gan_weight, get_last_layer
 
-    def gen_loss_fn(params, disc_params, images, rng):
+    def gen_loss_fn(params, disc_params, images, rng, gan_scale):
         def disc_apply(img):
             return disc.apply({"params": disc_params}, img)
         total, metrics = _loss_and_metrics(model, params, images, rng, weights,
                                            lpips_params, teacher_fn, disc_apply)
+        # Warmup gate: losses["gan"] is the weighted in-total term, so
+        # subtracting (1-scale)*gan removes exactly the generator's
+        # adversarial pull while the discriminator warms up.
+        total = total - (1.0 - gan_scale) * metrics["gan"]
+        metrics["gan_scale"] = gan_scale
+        metrics["total"] = total
         if adaptive_weight and weights.gan > 0:
             rec = metrics["l1"] + metrics["lpips"]
 
@@ -249,7 +265,8 @@ def make_gan_train_step(
             # L_rec the full reconstruction loss (pixel + perceptual).
             w = adaptive_gan_weight(last_grad("l1", "lpips"),
                                     last_grad("gan"))
-            total = rec + metrics["kl"] + metrics["vf"] + w * metrics["gan"]
+            total = (rec + metrics["kl"] + metrics["vf"]
+                     + gan_scale * w * metrics["gan"])
             metrics["adaptive_gan_weight"] = w
             metrics["total"] = total
         return total, metrics
@@ -265,11 +282,13 @@ def make_gan_train_step(
     def step(gen_state: TrainState, disc_state: TrainState, batch, rng):
         rng = jax.random.fold_in(rng, gen_state.step)
         g_rng, _ = jax.random.split(rng)
+        gan_scale = (disc_state.step >= gan_warmup_steps).astype(jnp.float32)
 
         # Generator update (encoder typically frozen via gen_tx partition).
         (_, g_metrics), g_grads = jax.value_and_grad(
             gen_loss_fn, has_aux=True)(gen_state.params,
-                                       disc_state.params["model"], batch, g_rng)
+                                       disc_state.params["model"], batch,
+                                       g_rng, gan_scale)
         g_updates, g_opt = gen_tx.update(g_grads, gen_state.opt_state,
                                          gen_state.params)
         g_params = optax.apply_updates(gen_state.params, g_updates)

@@ -75,6 +75,11 @@ class TrainerConfig:
     # ||grad_last L_rec|| / ||grad_last L_gan|| (what the reference's unused
     # get_last_layer exists for; SURVEY §2.3).
     gan_adaptive_weight: bool = False
+    # VQGAN disc_start analogue, counted on the DISCRIMINATOR's steps: the
+    # generator's GAN term is zeroed until the fresh discriminator has taken
+    # this many steps. Without it the adaptive ratio explodes against a
+    # random discriminator (measured 41.9x / -22 dB in 100 steps, r4).
+    gan_warmup_steps: int = 500
     # 'constant' (reference recipe: warmup then flat) or 'cosine' (warmup
     # then cosine decay over num_epochs*steps_per_epoch — the r3 val-PSNR
     # dip A/B lever).
@@ -158,7 +163,8 @@ class Trainer:
                 train_config.weights, lpips_params=lpips_params,
                 teacher_fn=teacher_fn,
                 adaptive_weight=train_config.gan_adaptive_weight,
-                ema_decay=train_config.ema_decay or None)
+                ema_decay=train_config.ema_decay or None,
+                gan_warmup_steps=train_config.gan_warmup_steps)
             self._disc_state = None
 
             def gan_adapter(state, batch, rng):

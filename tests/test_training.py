@@ -532,3 +532,48 @@ def test_trainer_skip_data_on_resume(tmp_path):
     tr2.fit(counting_iter(c2))
     # 3 skipped (resume point) + 2 trained.
     assert c2[0] == 5
+
+
+def test_gan_warmup_gates_generator_term(rng):
+    """gan_warmup_steps (VQGAN disc_start analogue): while the discriminator
+    has taken < warmup steps, the generator's GAN term is zeroed (total
+    excludes it, gan_scale=0) — for BOTH the fixed-weight and adaptive paths;
+    the gate is keyed on the DISC step so it is stage-2-relative even when
+    the generator resumes at a large step count."""
+    model = micro_model()
+    disc = PatchDiscriminator(base_channels=8, num_layers=2, dtype=jnp.float32)
+    x = jax.random.uniform(rng, (2, 16, 16, 3))
+    mvars = model.init({"params": rng, "sample": rng}, x)
+    dvars = disc.init(rng, x)
+    gen_tx, disc_tx = make_optimizer(1e-3, 0), make_optimizer(1e-3, 0)
+    w = LossWeights(lpips=0.0, kl=0.0, vf=0.0, gan=0.05)
+
+    for adaptive in (False, True):
+        gen_state = init_train_state(
+            {"model": jax.tree_util.tree_map(jnp.copy, mvars["params"])},
+            gen_tx)
+        # Generator resumes mid-lineage; discriminator is fresh.
+        gen_state = gen_state.replace(step=jnp.asarray(6000, jnp.int32))
+        disc_state = init_train_state(
+            {"model": jax.tree_util.tree_map(jnp.copy, dvars["params"])},
+            disc_tx)
+        step = make_gan_train_step(model, disc, gen_tx, disc_tx, w,
+                                   adaptive_weight=adaptive,
+                                   gan_warmup_steps=2)
+        gen_state, disc_state, m0 = step(gen_state, disc_state, x, rng)
+        assert float(m0["gan_scale"]) == 0.0
+        assert float(m0["gan"]) != 0.0  # the term is computed, just gated
+        expected = sum(float(m0[k]) for k in ("l1", "lpips", "kl", "vf"))
+        np.testing.assert_allclose(float(m0["total"]), expected, rtol=1e-5)
+
+        gen_state, disc_state, m1 = step(gen_state, disc_state, x, rng)
+        assert float(m1["gan_scale"]) == 0.0
+        gen_state, disc_state, m2 = step(gen_state, disc_state, x, rng)
+        assert float(m2["gan_scale"]) == 1.0  # disc has 2 steps: gate opens
+        if adaptive:
+            contrib = (float(m2["adaptive_gan_weight"]) * float(m2["gan"]))
+        else:
+            contrib = float(m2["gan"])
+        expected2 = sum(float(m2[k])
+                        for k in ("l1", "lpips", "kl", "vf")) + contrib
+        np.testing.assert_allclose(float(m2["total"]), expected2, rtol=1e-5)
