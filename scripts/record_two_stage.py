@@ -20,6 +20,9 @@ from record_run import _ordered, git_rev, summarize_history  # noqa: E402
 
 S1 = os.path.join(REPO, "runs", "two_stage_tiny256")
 S2 = os.path.join(REPO, "runs", "two_stage_tiny256_s2")
+# Retake with the discriminator-warmup fix (scripts/r4_retake.sh); recorded
+# as its own section when present so the collapsed run stays on the record.
+S2B = os.path.join(REPO, "runs", "two_stage_tiny256_s2b")
 
 
 def load_rows(run_dir: str) -> list[dict]:
@@ -71,6 +74,16 @@ def main() -> None:
             "eval_best": load_eval(S2),
         },
     }
+    if os.path.isdir(S2B):
+        record["stage2_fixed"] = {
+            "note": ("stage-2 retake with gan_warmup_steps=500 (VQGAN "
+                     "disc_start analogue) after the un-warmed adaptive "
+                     "weight exploded 41.9x at handoff and collapsed the "
+                     "decoder to ~10.6 dB with no recovery"),
+            "summary": summarize_history(load_rows(S2B)),
+            "best_ckpt": best_meta(S2B),
+            "eval_best": load_eval(S2B),
+        }
 
     # Adaptive-GAN-weight + discriminator trace (stage 2 train rows).
     trace = [
@@ -93,6 +106,8 @@ def main() -> None:
         "stage1_best_val_psnr": sel("stage1"),
         "stage2_best_val_psnr": sel("stage2"),
     }
+    if "stage2_fixed" in record:
+        record["delta"]["stage2_fixed_best_val_psnr"] = sel("stage2_fixed")
     e1, e2 = record["stage1"]["eval_best"], record["stage2"]["eval_best"]
     if e1 and e2:
         key = "rfid" if "rfid" in e1 else "vgg_rfid"
