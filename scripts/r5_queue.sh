@@ -83,6 +83,24 @@ if ! have RESULTS/two_stage_tiny256.json; then
   probe
 fi
 
+# ---- Stage-2 retake with the discriminator-warmup fix ----------------------
+# (Validates the r4 gan_warmup_steps fix; needs a stage-1 checkpoint — train
+#  one if the r4/r5 two-stage stage-1 is not on this VM.)
+if ! have RESULTS/two_stage_tiny256_s2_fixed.json; then
+  if [ ! -d runs/two_stage_tiny256/checkpoints ]; then
+    run 9000 s2fix_stage1 python -m deepl_project_tpu.cli.train \
+        --variant tiny --data shapes --resolution 256 --batch_size 16 \
+        --lr 2e-4 --warmup_steps 500 --lr_schedule cosine \
+        --l1_weight 1.0 --lpips_weight 1.0 --kl_weight 1e-8 --vf_weight 0.1 \
+        --ema_decay 0.999 --num_epochs 6 --steps_per_epoch 1000 \
+        --eval_every_steps 500 --val_batches 8 --save_every_steps 2000 \
+        --seed 42 --output_dir runs/two_stage_tiny256
+    probe
+  fi
+  bash scripts/r4_retake.sh
+  probe
+fi
+
 # ---- DiT-S/2 FID trajectory (needs a trained VAE checkpoint) ---------------
 if ! have RESULTS/dit_s_tiny256_fid.json; then
   VAE_CKPT=""
