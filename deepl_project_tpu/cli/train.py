@@ -89,6 +89,19 @@ def build_parser() -> argparse.ArgumentParser:
                    help="VQGAN disc_start analogue: generator GAN term is "
                         "zeroed until the fresh discriminator has taken this "
                         "many steps (prevents the adaptive-ratio explosion)")
+    p.add_argument("--gan_ramp_steps", type=int, default=1000,
+                   help="linear 0->1 ramp of the GAN term after the warmup "
+                        "gate opens (a step-function handoff against the "
+                        "warmed discriminator collapses reconstructions; "
+                        "1 = step function)")
+    p.add_argument("--gan_adaptive_max", type=float, default=1.0,
+                   help="clamp on the VQGAN adaptive ratio (1.0 = down-only; "
+                        "VQGAN's 1e4 permits the measured 41.9x explosion)")
+    p.add_argument("--divergence_halt_db", type=float, default=5.0,
+                   help="halt when selection PSNR sits this many dB below "
+                        "the run's best for --divergence_patience consecutive "
+                        "evals (finite-collapse circuit breaker; 0 disables)")
+    p.add_argument("--divergence_patience", type=int, default=3)
     # Infra
     p.add_argument("--output_dir", default="outputs")
     p.add_argument("--save_every_epochs", type=int, default=5)
@@ -196,8 +209,12 @@ def main(argv=None):
         ema_decay=args.ema_decay, keep_best=not args.no_keep_best,
         gan_adaptive_weight=args.gan_adaptive_weight,
         gan_warmup_steps=args.gan_warmup_steps,
+        gan_ramp_steps=args.gan_ramp_steps,
+        gan_adaptive_max=args.gan_adaptive_max,
         lr_schedule=args.lr_schedule,
-        skip_data_on_resume=args.skip_data_on_resume)
+        skip_data_on_resume=args.skip_data_on_resume,
+        divergence_halt_db=args.divergence_halt_db,
+        divergence_patience=args.divergence_patience)
 
     import os as _os
 

@@ -204,6 +204,8 @@ def make_gan_train_step(
     adaptive_weight: bool = False,
     ema_decay: float | None = None,
     gan_warmup_steps: int = 0,
+    gan_ramp_steps: int = 1,
+    adaptive_max: float = 1e4,
 ):
     """Stage-2 adversarial step: one generator update + one discriminator
     update per call, compiled together.
@@ -212,16 +214,31 @@ def make_gan_train_step(
     (discriminator=None everywhere; SURVEY.md §2.3). This makes it real.
     With adaptive_weight=True the GAN term is rescaled by the VQGAN rule
     ||∇_last L_rec|| / ||∇_last L_gan|| computed on the decoder's final conv
-    (what the reference's unused get_last_layer exists for).
+    (what the reference's unused get_last_layer exists for), clamped to
+    ``adaptive_max``.
 
-    gan_warmup_steps is the VQGAN ``disc_start`` analogue, keyed on the
-    DISCRIMINATOR's step count (so it is warmup-relative even when the
-    generator resumes from a stage-1 checkpoint at step 6000): while the
-    discriminator has taken fewer than this many steps, the generator's GAN
-    term is zeroed — only the discriminator trains. Without it, a fresh
-    random discriminator yields near-zero ||∇_last L_gan|| and the adaptive
-    ratio explodes (measured 41.9x at stage-2 start, r4: -22 dB val PSNR in
-    100 steps; RESULTS/two_stage_tiny256.json).
+    GAN-introduction schedule (keyed on the DISCRIMINATOR's step count, so it
+    is stage-2-relative even when the generator resumes from a stage-1
+    checkpoint at step 6000), learned the hard way across two measured
+    collapses (RESULTS/two_stage_tiny256.json, .._s2_warmuponly):
+
+    - ``gan_warmup_steps`` — VQGAN ``disc_start`` analogue: while the
+      discriminator has taken fewer than this many steps, the generator's GAN
+      term is zeroed and only the discriminator trains. Without it a random
+      discriminator gives near-zero ||∇_last L_gan|| and the adaptive ratio
+      explodes (measured 41.9x at stage-2 start, r4: -22 dB val PSNR in 100
+      steps).
+    - ``gan_ramp_steps`` — after the gate opens, gan_scale rises LINEARLY
+      0 -> 1 over this many steps instead of as a step function. The warmup
+      gate alone is NOT enough: 500 disc-only steps produce a near-converged
+      discriminator (hinge loss ~1e-4), and switching the generator's
+      equalized-gradient adversarial term on all at once against it collapsed
+      reconstructions a second time (r5 measured: 33.5 -> 7.3 dB within 500
+      steps of gate-open). 1 = the old step-function behavior.
+    - ``adaptive_max`` — clamp on the adaptive ratio. VQGAN's 1e4 permits the
+      41.9x amplification above; 1.0 makes the rule down-only (the GAN term
+      never gets MORE last-layer gradient than the reconstruction loss).
+
     Returns fn(gen_state, disc_state, batch, rng) -> (gen_state, disc_state,
     metrics).
     """
@@ -264,7 +281,8 @@ def make_gan_train_step(
             # VQGAN rule: ||grad_last L_rec|| / ||grad_last L_gan|| with
             # L_rec the full reconstruction loss (pixel + perceptual).
             w = adaptive_gan_weight(last_grad("l1", "lpips"),
-                                    last_grad("gan"))
+                                    last_grad("gan"),
+                                    max_weight=adaptive_max)
             total = (rec + metrics["kl"] + metrics["vf"]
                      + gan_scale * w * metrics["gan"])
             metrics["adaptive_gan_weight"] = w
@@ -282,7 +300,11 @@ def make_gan_train_step(
     def step(gen_state: TrainState, disc_state: TrainState, batch, rng):
         rng = jax.random.fold_in(rng, gen_state.step)
         g_rng, _ = jax.random.split(rng)
-        gan_scale = (disc_state.step >= gan_warmup_steps).astype(jnp.float32)
+        # Linear ramp after the warmup gate: 0 while disc_step < warmup, then
+        # (disc_step - warmup + 1)/ramp up to 1. ramp=1 reproduces the old
+        # step function exactly.
+        past_gate = (disc_state.step - gan_warmup_steps + 1).astype(jnp.float32)
+        gan_scale = jnp.clip(past_gate / max(gan_ramp_steps, 1), 0.0, 1.0)
 
         # Generator update (encoder typically frozen via gen_tx partition).
         (_, g_metrics), g_grads = jax.value_and_grad(

@@ -80,10 +80,29 @@ class TrainerConfig:
     # this many steps. Without it the adaptive ratio explodes against a
     # random discriminator (measured 41.9x / -22 dB in 100 steps, r4).
     gan_warmup_steps: int = 500
+    # After the gate opens, the GAN term ramps linearly 0 -> 1 over this many
+    # steps. The gate alone is insufficient: a step-function handoff against
+    # the (by then near-converged) discriminator collapsed reconstructions a
+    # second time (r5 measured: 33.5 -> 7.3 dB; RESULTS two_stage s2
+    # lineage). 1 = step function.
+    gan_ramp_steps: int = 1000
+    # Clamp on the VQGAN adaptive ratio. 1.0 = down-only (the GAN term never
+    # outweighs the reconstruction gradient at the last layer); VQGAN's own
+    # 1e4 permits the measured 41.9x explosion.
+    gan_adaptive_max: float = 1.0
     # 'constant' (reference recipe: warmup then flat) or 'cosine' (warmup
     # then cosine decay over num_epochs*steps_per_epoch — the r3 val-PSNR
     # dip A/B lever).
     lr_schedule: str = "constant"
+    # Divergence circuit breaker: halt when the selection PSNR sits more than
+    # divergence_halt_db below the run's best for divergence_patience
+    # consecutive evals (0 disables). The NaN guard cannot catch a FINITE
+    # collapse: the r4 stage-2 adaptive-weight explosion pinned val PSNR at
+    # 10.6 dB for 2,500 steps of burned chip time with no breaker. Patience
+    # of 3 tolerates transient early-training dips; a real collapse (dead
+    # decoder) never recovers on its own.
+    divergence_halt_db: float = 5.0
+    divergence_patience: int = 3
     # On resume, advance the data stream by the restored step count so the
     # run continues from its exact data position instead of replaying the
     # stream prefix (one batch is consumed per optimizer step; grad accum
@@ -164,7 +183,9 @@ class Trainer:
                 teacher_fn=teacher_fn,
                 adaptive_weight=train_config.gan_adaptive_weight,
                 ema_decay=train_config.ema_decay or None,
-                gan_warmup_steps=train_config.gan_warmup_steps)
+                gan_warmup_steps=train_config.gan_warmup_steps,
+                gan_ramp_steps=train_config.gan_ramp_steps,
+                adaptive_max=train_config.gan_adaptive_max)
             self._disc_state = None
 
             def gan_adapter(state, batch, rng):
@@ -255,6 +276,8 @@ class Trainer:
                 _abstract_leaf, disc_state.params)
             abstract["disc_opt_state"] = jax.tree_util.tree_map(
                 _abstract_leaf, disc_state.opt_state)
+            if "disc_step" in keys:
+                abstract["disc_step"] = _abstract_leaf(disc_state.step)
         use_abstract = keys == set(abstract)
         try:
             payload, meta = restore_checkpoint(
@@ -302,10 +325,15 @@ class Trainer:
                 state = state.replace(ema_params=jax.tree_util.tree_map(
                     jnp.copy, restored_params))
         if self.use_gan and use_abstract and "disc_params" in payload:
-            # A fresh buffer, NOT step_val: the jitted GAN step donates both
-            # states, and donating one buffer through two args is an error.
+            # The discriminator keeps its OWN step (gan_warmup_steps is keyed
+            # on it): seeding it from the generator's cumulative step would
+            # open the warmup gate immediately on any resumed stage-2 run —
+            # a preemption during warmup would then resume straight into the
+            # un-warmed adaptive-weight explosion the gate prevents (ADVICE
+            # r4). Old checkpoints without disc_step restart the warmup (0) —
+            # a safe second warmup, never a skipped one.
             self._disc_state = TrainState(
-                step=jnp.asarray(int(payload["step"]), jnp.int32),
+                step=jnp.asarray(int(payload.get("disc_step", 0)), jnp.int32),
                 params=payload["disc_params"],
                 opt_state=payload["disc_opt_state"])
         # Seed best-checkpoint tracking from a prior best dir so a resumed
@@ -394,50 +422,64 @@ class Trainer:
             print(f"[trainer] received signal {signum}: will checkpoint and "
                   "stop after the current step")
 
+        # Handlers go in immediately before the try so EVERY exit path —
+        # including failures in state setup / resume / writer construction —
+        # restores them and closes the writer (ADVICE r4).
         for sig in (signal.SIGTERM, signal.SIGINT):
             try:
                 prev_handlers[sig] = signal.signal(sig, _request_stop)
             except ValueError:  # not the main thread (e.g. under a test runner)
                 pass
-
-        rng = jax.random.PRNGKey(self.cfg.seed)
-        if state is None:
-            state = self.create_state(rng, dino_dim=self.dino_dim)
-        state, start_epoch = self.maybe_resume(state)
-        writer = MetricWriter(os.path.join(self.cfg.output_dir, "tb"))
-        history = RunHistory(os.path.join(self.cfg.output_dir,
-                                          "history.jsonl"))
-        sharding = batch_sharding(self.mesh)
-        timer = StepTimer()
-
-        # Host-side step counter: reading state.step back every iteration
-        # would force a device sync per step and serialize the pipeline; sync
-        # happens only on log/save boundaries.
-        step = int(state.step)
-        if step and self.cfg.skip_data_on_resume:
-            print(f"[trainer] skip_data_on_resume: advancing the data stream "
-                  f"by {step} batches to the resume point")
-            for _ in range(step):
-                if next(data_iter, None) is None:
-                    break
+        writer = None
         try:
+            rng = jax.random.PRNGKey(self.cfg.seed)
+            if state is None:
+                state = self.create_state(rng, dino_dim=self.dino_dim)
+            state, start_epoch = self.maybe_resume(state)
+            writer = MetricWriter(os.path.join(self.cfg.output_dir, "tb"))
+            history = RunHistory(os.path.join(self.cfg.output_dir,
+                                              "history.jsonl"))
+            sharding = batch_sharding(self.mesh)
+            timer = StepTimer()
+
+            # Host-side step counter: reading state.step back every iteration
+            # would force a device sync per step and serialize the pipeline;
+            # sync happens only on log/save boundaries.
+            step = int(state.step)
+            if step and self.cfg.skip_data_on_resume:
+                print(f"[trainer] skip_data_on_resume: advancing the data "
+                      f"stream by {step} batches to the resume point")
+                for _ in range(step):
+                    if next(data_iter, None) is None:
+                        break
             state = self._fit_loop(state, data_iter, val_batches, writer,
                                    history, sharding, timer, rng, step,
                                    start_epoch, stop_signal)
         finally:
             for sig, prev in prev_handlers.items():
                 signal.signal(sig, prev)
-        writer.close()
+            if writer is not None:
+                writer.close()
         return state
 
     def _fit_loop(self, state, data_iter, val_batches, writer, history,
                   sharding, timer, rng, step, start_epoch, stop_signal):
+        # Finite-collapse circuit breaker state (see divergence_halt_db).
+        diverged_evals = 0
+        # Mid-epoch resume (signal-stopped runs save anywhere): finish the
+        # interrupted epoch rather than rerunning it in full, which would
+        # overshoot num_epochs*steps_per_epoch and train past the cosine
+        # schedule's decay horizon at the floor LR (ADVICE r4).
+        resume_offset = step % self.cfg.steps_per_epoch
         for epoch in range(start_epoch, self.cfg.num_epochs):
             # Epoch averages are over the sampled log points (every log_every
             # steps) — the reference averages every step, but that costs a
             # D2H sync per step, which this loop deliberately avoids.
             epoch_metrics: list[dict] = []
-            for _ in range(self.cfg.steps_per_epoch):
+            n_steps = self.cfg.steps_per_epoch
+            if epoch == start_epoch and resume_offset:
+                n_steps -= resume_offset
+            for _ in range(n_steps):
                 try:
                     batch = next(data_iter)
                 except StopIteration:
@@ -473,6 +515,25 @@ class Trainer:
                     if self.cfg.keep_best and sel > self._best_psnr:
                         self._best_psnr = sel
                         self.save(state, epoch, best=True, val=val)
+                    if (self.cfg.divergence_halt_db > 0
+                            and np.isfinite(self._best_psnr)
+                            and sel < self._best_psnr
+                            - self.cfg.divergence_halt_db):
+                        diverged_evals += 1
+                        if diverged_evals >= self.cfg.divergence_patience:
+                            self.save(state, epoch)
+                            print(
+                                f"[trainer] DIVERGENCE HALT: selection PSNR "
+                                f"{sel:.2f} dB has sat more than "
+                                f"{self.cfg.divergence_halt_db:.1f} dB below "
+                                f"the best ({self._best_psnr:.2f} dB) for "
+                                f"{diverged_evals} consecutive evals — the "
+                                "model has collapsed and will not recover. "
+                                "Halting; resume from checkpoints_best/ with "
+                                "adjusted hyperparameters.")
+                            return state
+                    else:
+                        diverged_evals = 0
                 if stop_signal[0] is not None:
                     break
             if stop_signal[0] is not None:
@@ -508,6 +569,7 @@ class Trainer:
         if self.use_gan and getattr(self, "_disc_state", None) is not None:
             payload["disc_params"] = self._disc_state.params
             payload["disc_opt_state"] = self._disc_state.opt_state
+            payload["disc_step"] = self._disc_state.step
         # attention_impl is an execution policy, not architecture: persist
         # the inference-tuned dispatch so serve/evaluate/from_pretrained don't
         # inherit the training-only 'auto_train' band (measured slower for

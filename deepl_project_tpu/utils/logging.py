@@ -111,10 +111,12 @@ class StepTimer:
             self._t0 = time.perf_counter()
             self._images = 0
             self._ticks.clear()
-            self._ticks.append((self._t0, 0))
+            if self.window:
+                self._ticks.append((self._t0, 0))
         elif self._count > self.warmup:
             self._images += batch_size
-            self._ticks.append((time.perf_counter(), batch_size))
+            if self.window:  # cumulative mode keeps no unbounded tick log
+                self._ticks.append((time.perf_counter(), batch_size))
 
     @property
     def images_per_sec(self) -> float:

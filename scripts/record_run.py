@@ -75,12 +75,27 @@ def summarize_history(rows: list[dict]) -> dict:
              **({"psnr_ema": round(r["val_psnr_ema"], 3)}
                 if "val_psnr_ema" in r else {})} for r in val]
     if train:
-        out["final_train_loss"] = train[-1].get("total")
+        out["final_train_loss"] = train[-1].get("total", train[-1].get("loss"))
         ips = [r["images_per_sec"] for r in train
                if r.get("images_per_sec", 0) > 0]
         if ips:
             out["mean_images_per_sec"] = sum(ips) / len(ips)
         out["final_step"] = train[-1].get("step")
+    # DiT generation-FID rows (cli/train_dit.py --fid_every): the headline
+    # trajectory for the paper-Table-2(b) protocol.
+    fid = [r for r in rows if r.get("kind") == "fid"]
+    if fid:
+        key = next((k for k in fid[0] if k.endswith("gen_fid")), None)
+        if key is not None:
+            out["n_fid_points"] = len(fid)
+            out["fid_curve"] = [{"step": r["step"],
+                                 "gen_fid": round(r.get(key, 0), 3)}
+                                for r in fid]
+            best = min(fid, key=lambda r: r.get(key, float("inf")))
+            out["best_gen_fid"] = best.get(key)
+            out["best_gen_fid_step"] = best.get("step")
+            out["final_gen_fid"] = fid[-1].get(key)
+            out["gen_fid_metric"] = key
     return out
 
 

@@ -526,12 +526,14 @@ def test_trainer_skip_data_on_resume(tmp_path):
     tr.fit(counting_iter(c1))
     assert c1[0] == 3
 
-    tr2 = _micro_trainer(tmp_path, steps=2)  # resumes at epoch 0: 2 steps
+    tr2 = _micro_trainer(tmp_path, steps=2)
     tr2.cfg.skip_data_on_resume = True
     c2 = [0]
     tr2.fit(counting_iter(c2))
-    # 3 skipped (resume point) + 2 trained.
-    assert c2[0] == 5
+    # 3 skipped (resume point) + 1 trained: step 3 is mid-epoch for the
+    # 2-step schedule, so the resumed run finishes that epoch (1 step)
+    # rather than rerunning it in full (ADVICE r4 overshoot fix).
+    assert c2[0] == 4
 
 
 def test_gan_warmup_gates_generator_term(rng):
@@ -577,3 +579,163 @@ def test_gan_warmup_gates_generator_term(rng):
         expected2 = sum(float(m2[k])
                         for k in ("l1", "lpips", "kl", "vf")) + contrib
         np.testing.assert_allclose(float(m2["total"]), expected2, rtol=1e-5)
+
+
+def test_divergence_circuit_breaker(tmp_path):
+    """r5: the finite-collapse circuit breaker. The r4 stage-2 explosion sat
+    at 10.6 dB (>20 dB below best) for 2,500 steps with no guard — the NaN
+    guard only catches non-finite losses. A scripted eval sequence (one good
+    eval, then collapse) must halt the run after divergence_patience bad
+    evals instead of burning the remaining steps."""
+    from deepl_project_tpu.data import batch_iterator, make_dataset
+    from deepl_project_tpu.training.checkpoint import latest_step
+
+    tr = _micro_trainer(tmp_path, steps=20)
+    tr.cfg.eval_every_steps = 1
+    tr.cfg.save_every_epochs = 99
+    tr.cfg.divergence_halt_db = 5.0
+    tr.cfg.divergence_patience = 3
+
+    scripted = iter([30.0] + [10.0] * 50)
+
+    def fake_evaluate(state, val_batches):
+        return {"val_psnr": next(scripted), "val_ssim": 0.5}
+
+    tr.evaluate = fake_evaluate
+    val = [np.random.RandomState(7).rand(2, 16, 16, 3).astype(np.float32)]
+    data = batch_iterator(make_dataset("synthetic", resolution=16,
+                                       num_samples=256), 2)
+    tr.fit(data, val_batches=val)
+    # Eval @1: best=30. Evals @2,3,4: 10 dB (>5 below best) -> halt at step 4
+    # with a final checkpoint, not at the scheduled 20.
+    assert latest_step(str(tmp_path / "checkpoints")) == 4
+
+
+def test_divergence_breaker_tolerates_transient_dip(tmp_path):
+    """A dip shorter than the patience window must NOT halt the run."""
+    from deepl_project_tpu.data import batch_iterator, make_dataset
+    from deepl_project_tpu.training.checkpoint import latest_step
+
+    tr = _micro_trainer(tmp_path, steps=8)
+    tr.cfg.eval_every_steps = 1
+    tr.cfg.save_every_epochs = 1
+    tr.cfg.divergence_halt_db = 5.0
+    tr.cfg.divergence_patience = 3
+
+    scripted = iter([30.0, 10.0, 10.0, 31.0, 32.0, 31.5, 32.5, 33.0])
+
+    def fake_evaluate(state, val_batches):
+        return {"val_psnr": next(scripted), "val_ssim": 0.5}
+
+    tr.evaluate = fake_evaluate
+    val = [np.random.RandomState(7).rand(2, 16, 16, 3).astype(np.float32)]
+    data = batch_iterator(make_dataset("synthetic", resolution=16,
+                                       num_samples=256), 2)
+    tr.fit(data, val_batches=val)
+    assert latest_step(str(tmp_path / "checkpoints")) == 8  # ran to the end
+
+
+def test_disc_step_persisted_across_resume(tmp_path):
+    """ADVICE r4 (medium): the discriminator's OWN step must survive a
+    checkpoint round-trip. Seeding it from the generator's cumulative step
+    would open the gan_warmup gate immediately on any stage-2 resume whose
+    generator lineage exceeds gan_warmup_steps."""
+    from deepl_project_tpu.data import batch_iterator, make_dataset
+
+    # Stage 1: 2 generator-only steps.
+    tr1 = _micro_trainer(tmp_path, gan=False, steps=2)
+    data = batch_iterator(make_dataset("synthetic", resolution=16,
+                                       num_samples=64), 2)
+    tr1.fit(data)
+
+    # Stage 2 from the stage-1 checkpoint: generator 2 -> 4, disc 0 -> 2.
+    tr2 = _micro_trainer(tmp_path, gan=True, steps=2, resolution=32)
+    data = batch_iterator(make_dataset("synthetic", resolution=32,
+                                       num_samples=64), 2)
+    tr2.fit(data)
+    assert int(tr2._disc_state.step) == 2
+
+    # Resume stage 2: disc step restores as 2 (its own), not 4 (generator's).
+    tr3 = _micro_trainer(tmp_path, gan=True, steps=2, resolution=32)
+    state = tr3.create_state(jax.random.PRNGKey(0))
+    state, _ = tr3.maybe_resume(state)
+    assert int(state.step) == 4
+    assert tr3._disc_state is not None
+    assert int(tr3._disc_state.step) == 2
+
+
+def test_mid_epoch_resume_no_overshoot(tmp_path):
+    """ADVICE r4: resuming a mid-epoch checkpoint finishes the interrupted
+    epoch instead of rerunning it in full — total optimizer steps stay at
+    num_epochs*steps_per_epoch (a full rerun would train past the cosine
+    decay horizon at the schedule floor)."""
+    from deepl_project_tpu.data import batch_iterator, make_dataset
+    from deepl_project_tpu.training.checkpoint import latest_step
+
+    # A 3-step run leaves a checkpoint mid-epoch for the 2x5 schedule below.
+    tr1 = _micro_trainer(tmp_path, steps=3)
+    data = batch_iterator(make_dataset("synthetic", resolution=16,
+                                       num_samples=256), 2)
+    tr1.fit(data)
+    assert latest_step(str(tmp_path / "checkpoints")) == 3
+
+    tr2 = _micro_trainer(tmp_path, steps=5)
+    tr2.cfg.num_epochs = 2
+    data = batch_iterator(make_dataset("synthetic", resolution=16,
+                                       num_samples=256), 2)
+    tr2.fit(data)
+    # Epoch 0 finishes with 2 steps (3 already done), epoch 1 runs 5:
+    # total exactly 10, not 3 + 10.
+    assert latest_step(str(tmp_path / "checkpoints")) == 10
+
+
+def test_step_timer_window_zero_keeps_no_ticks():
+    """StepTimer(window=0) documents cumulative behavior; it must not grow an
+    unbounded tick deque over a long run (ADVICE r4)."""
+    from deepl_project_tpu.utils.logging import StepTimer
+
+    t = StepTimer(warmup=1, window=0)
+    for _ in range(1000):
+        t.tick(4)
+    assert len(t._ticks) == 0
+    assert t.images_per_sec > 0
+
+
+def test_gan_ramp_schedule(rng):
+    """r5: after the warmup gate opens, gan_scale ramps LINEARLY over
+    gan_ramp_steps instead of stepping 0 -> 1. A step-function handoff
+    against the warmed (near-converged) discriminator collapsed
+    reconstructions (measured 33.5 -> 7.3 dB; runs/two_stage_tiny256_s2b
+    r5 attempt 1)."""
+    model = micro_model()
+    disc = PatchDiscriminator(base_channels=8, num_layers=2, dtype=jnp.float32)
+    x = jax.random.uniform(rng, (2, 16, 16, 3))
+    mvars = model.init({"params": rng, "sample": rng}, x)
+    dvars = disc.init(rng, x)
+    gen_tx, disc_tx = make_optimizer(1e-3, 0), make_optimizer(1e-3, 0)
+    w = LossWeights(lpips=0.0, kl=0.0, vf=0.0, gan=0.05)
+
+    gen_state = init_train_state(
+        {"model": jax.tree_util.tree_map(jnp.copy, mvars["params"])}, gen_tx)
+    disc_state = init_train_state(
+        {"model": jax.tree_util.tree_map(jnp.copy, dvars["params"])}, disc_tx)
+    step = make_gan_train_step(model, disc, gen_tx, disc_tx, w,
+                               gan_warmup_steps=2, gan_ramp_steps=4)
+    # disc steps 0,1: gated; 2..4: 0.25/0.5/0.75; 5: saturated at 1.0.
+    expected = [0.0, 0.0, 0.25, 0.5, 0.75, 1.0, 1.0]
+    for want in expected:
+        gen_state, disc_state, m = step(gen_state, disc_state, x, rng)
+        np.testing.assert_allclose(float(m["gan_scale"]), want, atol=1e-6)
+
+
+def test_adaptive_gan_weight_clamp():
+    """adaptive_max clamps the VQGAN ratio: a near-zero GAN gradient (random
+    discriminator) must not amplify the GAN term 40x."""
+    from deepl_project_tpu.models.transvae import adaptive_gan_weight
+
+    rec = jnp.ones((8,)) * 1.0
+    gan = jnp.ones((8,)) * 1e-3  # ratio would be ~1000
+    w_unclamped = adaptive_gan_weight(rec, gan)
+    assert float(w_unclamped) > 100
+    w_clamped = adaptive_gan_weight(rec, gan, max_weight=1.0)
+    assert float(w_clamped) == 1.0
