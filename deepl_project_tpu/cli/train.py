@@ -75,6 +75,13 @@ def build_parser() -> argparse.ArgumentParser:
     # Losses (reference defaults, patched vae_loss.py:31-38)
     p.add_argument("--l1_weight", type=float, default=1.0)
     p.add_argument("--lpips_weight", type=float, default=1.0)
+    p.add_argument("--perceptual", default="vgg", choices=["vgg", "self"],
+                   help="LPIPS-slot feature net: 'vgg' (reference parity; "
+                        "needs converted weights, WEIGHTS.md) or 'self' "
+                        "(frozen trained encoder from --perceptual_checkpoint "
+                        "— the honest in-env substitute)")
+    p.add_argument("--perceptual_checkpoint", default="",
+                   help="trained checkpoint dir for --perceptual self")
     p.add_argument("--kl_weight", type=float, default=1e-8)
     p.add_argument("--vf_weight", type=float, default=0.0)
     p.add_argument("--gan_weight", type=float, default=0.0)
@@ -208,6 +215,8 @@ def main(argv=None):
         mu_dtype=args.mu_dtype, optimizer=args.optimizer,
         ema_decay=args.ema_decay, keep_best=not args.no_keep_best,
         gan_adaptive_weight=args.gan_adaptive_weight,
+        perceptual=args.perceptual,
+        perceptual_checkpoint=args.perceptual_checkpoint,
         gan_warmup_steps=args.gan_warmup_steps,
         gan_ramp_steps=args.gan_ramp_steps,
         gan_adaptive_max=args.gan_adaptive_max,

@@ -129,14 +129,26 @@ def evaluate_model(model: TransVAE, params: Any,
 
 
 def extrapolation_sweep(model: TransVAE, params: Any, images: np.ndarray,
-                        resolutions: tuple = (256, 512, 1024)) -> dict:
-    """PSNR at multiple inference resolutions from one trained model — the
-    RoPE extrapolation experiment (ref: test_rope_extrapolation.py:28-140).
+                        resolutions: tuple = (256, 512, 1024),
+                        compute_rfid: bool = False,
+                        chunk: int | None = None) -> dict:
+    """PSNR (+ SSIM, + optional (vgg_)rfid) at multiple inference resolutions
+    from one trained model — the RoPE extrapolation experiment (ref:
+    test_rope_extrapolation.py:28-140; paper Table 1 reports rFID *and* PSNR
+    per resolution, which compute_rfid mirrors).
 
     ``images`` must be at the largest resolution; smaller ones are produced by
-    area-downsampling.
+    area-downsampling. ``chunk`` bounds the per-forward batch (1024px
+    activations at stage 2 are N=65k tokens — a full 64-image batch does not
+    fit); per-resolution results keep the PSNR summary at the top level for
+    compatibility, with ``ssim`` / rfid nested.
     """
+    from .utils.metrics import ssim as ssim_fn
+
     model_params = params["model"] if isinstance(params, dict) and "model" in params else params
+    feature_fn = rfid_key = None
+    if compute_rfid:
+        feature_fn, rfid_key = make_fid_feature_fn()
     results = {}
     for res in resolutions:
         b, h, w, c = images.shape
@@ -150,10 +162,27 @@ def extrapolation_sweep(model: TransVAE, params: Any, images: np.ndarray,
         def step(p, xb):
             recon_logits, *_ = model.apply({"params": p}, xb, sample=False)
             recon = jax.nn.sigmoid(recon_logits.astype(jnp.float32))
-            return psnr(recon, xb.astype(jnp.float32))
+            xb32 = xb.astype(jnp.float32)
+            return recon, psnr(recon, xb32), ssim_fn(recon, xb32)
 
-        vals = np.asarray(step(model_params, batch))
-        results[res] = summarize(vals)
+        step_size = min(chunk or b, b)
+        psnrs, ssims, real_f, fake_f = [], [], [], []
+        for i in range(0, b, step_size):
+            xb = batch[i:i + step_size]
+            recon, p_vals, s_vals = step(model_params, xb)
+            psnrs.append(np.asarray(p_vals))
+            ssims.append(np.asarray(s_vals))
+            if feature_fn is not None:
+                real_f.append(np.asarray(feature_fn(xb)))
+                fake_f.append(np.asarray(feature_fn(recon)))
+        entry = summarize(np.concatenate(psnrs))
+        entry["ssim"] = summarize(np.concatenate(ssims))
+        if feature_fn is not None and b > 1:
+            from .utils.fid import fid_from_features
+
+            entry[rfid_key] = fid_from_features(
+                np.concatenate(real_f), np.concatenate(fake_f))
+        results[res] = entry
     return results
 
 

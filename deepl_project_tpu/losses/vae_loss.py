@@ -102,6 +102,33 @@ def discriminator_loss(real_logits: jax.Array, fake_logits: jax.Array,
     raise ValueError(f"Unknown GAN loss kind: {kind!r}")
 
 
+def make_self_perceptual(model, frozen_params) -> Callable:
+    """Perceptual distance from the model's OWN trained encoder (frozen).
+
+    The reference's perceptual term is LPIPS over pretrained VGG16 features
+    (patched vae_loss.py:52-54, 80-95); this environment has no pretrained
+    weights (WEIGHTS.md), and a random-init VGG is perceptually meaningless.
+    This is the honest in-env substitute: features = the frozen encoder's mu
+    map from a trained checkpoint (the latent space a linear probe shows is
+    semantically organized — RESULTS/latent_probe_tiny256.json), unit-
+    normalized channel-wise and compared by squared distance, i.e. LPIPS's
+    functional form with the learned heads replaced by uniform weights.
+    Labeled 'self-perceptual' in run args wherever used — NOT LPIPS parity.
+
+    Returns fn(recon_img01, target01) -> [B] distances.
+    """
+    def feats(x):
+        mu, _ = model.apply({"params": frozen_params}, x, method="encode")
+        f = mu.astype(jnp.float32)
+        return f / (jnp.linalg.norm(f, axis=-1, keepdims=True) + 1e-8)
+
+    def fn(recon_img: jax.Array, target: jax.Array) -> jax.Array:
+        fr, ft = feats(recon_img), feats(jax.lax.stop_gradient(target))
+        return jnp.mean(jnp.square(fr - ft), axis=(1, 2, 3))
+
+    return fn
+
+
 def transvae_loss(
     recon_logits: jax.Array,
     target: jax.Array,
@@ -110,6 +137,7 @@ def transvae_loss(
     weights: LossWeights = LossWeights(),
     *,
     lpips_params: Any | None = None,
+    perceptual_fn: Callable[[jax.Array, jax.Array], jax.Array] | None = None,
     vf_proj: tuple[jax.Array, jax.Array] | None = None,
     dino_features: jax.Array | None = None,
     disc_apply: Callable[[jax.Array], jax.Array] | None = None,
@@ -117,7 +145,9 @@ def transvae_loss(
     """Combined weighted loss; returns a dict with per-term values and 'total'.
 
     All terms computed in fp32 (the reference computes the loss outside
-    autocast; ref train_working.py:352-362).
+    autocast; ref train_working.py:352-362). ``perceptual_fn`` (images in
+    [0,1] -> [B] distances) replaces the VGG-LPIPS term when given — see
+    make_self_perceptual.
     """
     zero = jnp.zeros((), jnp.float32)
     losses: dict[str, jax.Array] = {}
@@ -128,7 +158,10 @@ def transvae_loss(
     losses["l1"] = (l1_loss(recon_img, target32) * weights.l1
                     if weights.l1 > 0 else zero)
 
-    if weights.lpips > 0 and lpips_params is not None:
+    if weights.lpips > 0 and perceptual_fn is not None:
+        losses["lpips"] = jnp.mean(
+            perceptual_fn(recon_img, target32)) * weights.lpips
+    elif weights.lpips > 0 and lpips_params is not None:
         recon_lp = jnp.clip(recon_img * 2.0 - 1.0, -1.0, 1.0)
         targ_lp = jnp.clip(target32 * 2.0 - 1.0, -1.0, 1.0)
         losses["lpips"] = jnp.mean(

@@ -72,7 +72,7 @@ def make_vf_proj_params(rng: jax.Array, latent_dim: int, dino_dim: int) -> dict:
 
 
 def _loss_and_metrics(model, params, images, rng, weights, lpips_params,
-                      teacher_fn, disc_apply):
+                      teacher_fn, disc_apply, perceptual_fn=None):
     recon, mu, logvar = model.apply(
         {"params": params["model"]}, images, rngs={"sample": rng})
     dino_features = teacher_fn(images) if teacher_fn is not None else None
@@ -81,7 +81,8 @@ def _loss_and_metrics(model, params, images, rng, weights, lpips_params,
         vf_proj = (params["vf_proj"]["kernel"], params["vf_proj"]["bias"])
     losses = transvae_loss(
         recon, images, mu, logvar, weights,
-        lpips_params=lpips_params, vf_proj=vf_proj,
+        lpips_params=lpips_params, perceptual_fn=perceptual_fn,
+        vf_proj=vf_proj,
         dino_features=dino_features, disc_apply=disc_apply)
     metrics = dict(losses)
     metrics["recon_finite_frac"] = jnp.mean(
@@ -101,6 +102,7 @@ def make_train_step(
     donate: bool = True,
     param_shardings: Any | None = None,
     ema_decay: float | None = None,
+    perceptual_fn: Callable | None = None,
 ):
     """Build the jitted train step.
 
@@ -120,7 +122,7 @@ def make_train_step(
         loss_fn = functools.partial(
             _loss_and_metrics, model, weights=weights,
             lpips_params=lpips_params, teacher_fn=teacher_fn,
-            disc_apply=disc_apply)
+            disc_apply=disc_apply, perceptual_fn=perceptual_fn)
         vg = jax.value_and_grad(
             lambda p, im, r: loss_fn(p, im, r), has_aux=True)
         if accum_steps == 1:
@@ -206,6 +208,7 @@ def make_gan_train_step(
     gan_warmup_steps: int = 0,
     gan_ramp_steps: int = 1,
     adaptive_max: float = 1e4,
+    perceptual_fn: Callable | None = None,
 ):
     """Stage-2 adversarial step: one generator update + one discriminator
     update per call, compiled together.
@@ -248,7 +251,8 @@ def make_gan_train_step(
         def disc_apply(img):
             return disc.apply({"params": disc_params}, img)
         total, metrics = _loss_and_metrics(model, params, images, rng, weights,
-                                           lpips_params, teacher_fn, disc_apply)
+                                           lpips_params, teacher_fn, disc_apply,
+                                           perceptual_fn=perceptual_fn)
         # Warmup gate: losses["gan"] is the weighted in-total term, so
         # subtracting (1-scale)*gan removes exactly the generator's
         # adversarial pull while the discriminator warms up.
@@ -274,7 +278,8 @@ def make_gan_train_step(
                 def f(kernel):
                     _, m = _loss_and_metrics(
                         model, with_last_kernel(kernel), images, rng, weights,
-                        lpips_params, teacher_fn, disc_apply)
+                        lpips_params, teacher_fn, disc_apply,
+                        perceptual_fn=perceptual_fn)
                     return sum(m[n] for n in loss_names)
                 return jax.grad(f)(get_last_layer(params))
 

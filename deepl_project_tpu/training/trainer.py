@@ -48,6 +48,12 @@ class TrainerConfig:
     freeze_encoder: bool = False  # stage 2
     weights: LossWeights = dataclasses.field(default_factory=LossWeights)
     use_lpips: bool = True
+    # What fills the LPIPS slot: 'vgg' (reference parity — needs converted
+    # pretrained weights, WEIGHTS.md; random-init otherwise) or 'self' (the
+    # frozen encoder from perceptual_checkpoint as the feature net — the
+    # honest in-env substitute; see losses.make_self_perceptual).
+    perceptual: str = "vgg"
+    perceptual_checkpoint: str = ""
     resolution: int = 256
     seed: int = 42
     log_every: int = 100
@@ -136,12 +142,32 @@ class Trainer:
         self.dino_dim = getattr(teacher_fn, "feature_dim", None)
 
         lpips_params = None
-        if train_config.use_lpips and train_config.weights.lpips > 0:
+        perceptual_fn = None
+        if train_config.perceptual == "self":
+            if not train_config.perceptual_checkpoint:
+                raise ValueError(
+                    "perceptual='self' needs perceptual_checkpoint (a trained "
+                    "checkpoint whose frozen encoder becomes the feature net)")
+            from ..losses import make_self_perceptual
+            from .checkpoint import load_config, restore_model_params
+
+            fcfg = load_config(train_config.perceptual_checkpoint)
+            fparams = restore_model_params(train_config.perceptual_checkpoint)
+            perceptual_fn = make_self_perceptual(TransVAE(fcfg), fparams)
+            print("[trainer] perceptual=self: LPIPS slot uses the frozen "
+                  f"encoder from {train_config.perceptual_checkpoint} "
+                  "(self-perceptual distance, NOT VGG-LPIPS)")
+        elif (train_config.perceptual == "vgg" and train_config.use_lpips
+              and train_config.weights.lpips > 0):
             lpips_params = get_lpips_params()
             if not lpips_params_available():
                 print("[trainer] WARNING: no pretrained LPIPS weights found; "
                       "using random-init VGG (run scripts/convert_lpips_weights.py)")
+        elif train_config.perceptual not in ("vgg", "self"):
+            raise ValueError(
+                f"perceptual must be vgg|self, got {train_config.perceptual!r}")
         self.lpips_params = lpips_params
+        self.perceptual_fn = perceptual_fn
 
         schedule = None
         if train_config.lr_schedule == "cosine":
@@ -180,6 +206,7 @@ class Trainer:
             self._gan_step = make_gan_train_step(
                 self.model, self.disc, self.tx, self.disc_tx,
                 train_config.weights, lpips_params=lpips_params,
+                perceptual_fn=perceptual_fn,
                 teacher_fn=teacher_fn,
                 adaptive_weight=train_config.gan_adaptive_weight,
                 ema_decay=train_config.ema_decay or None,
@@ -199,7 +226,8 @@ class Trainer:
             self.disc = None
             self.step_fn = make_train_step(
                 self.model, self.tx, train_config.weights,
-                lpips_params=lpips_params, teacher_fn=teacher_fn,
+                lpips_params=lpips_params, perceptual_fn=perceptual_fn,
+                teacher_fn=teacher_fn,
                 accum_steps=train_config.accum_steps,
                 ema_decay=train_config.ema_decay or None)
         self._writer = None

@@ -24,6 +24,12 @@ def main():
     p.add_argument("--resolutions", type=int, nargs="+",
                    default=[256, 512, 1024])
     p.add_argument("--num_images", type=int, default=16)
+    p.add_argument("--rfid", action="store_true",
+                   help="also compute (vgg_)rfid per resolution (paper "
+                        "Table 1 reports rFID and PSNR per resolution)")
+    p.add_argument("--chunk", type=int, default=8,
+                   help="per-forward batch bound (1024px stage-2 is N=65k "
+                        "tokens; a full large batch does not fit)")
     args = p.parse_args()
 
     cfg = load_config(args.checkpoint)
@@ -34,7 +40,8 @@ def main():
     batch = next(batch_iterator(
         make_dataset(args.data, resolution=max_res), args.num_images))
     results = extrapolation_sweep(model, params, batch,
-                                  tuple(args.resolutions))
+                                  tuple(args.resolutions),
+                                  compute_rfid=args.rfid, chunk=args.chunk)
     print(json.dumps({str(k): v for k, v in results.items()}, indent=2))
 
 

@@ -41,9 +41,16 @@ def pytest_sessionstart(session):
 
 
 # -- slow-test marking (r3 verdict: the full suite is ~40 min on the 1-core
-# host with no fast subset). One central list instead of per-file decorators;
-# measured from `--durations` (tests >=10s, compile-dominated). Run the fast
-# subset with `pytest -m "not slow"`; the full suite stays the default.
+# host with no fast subset; r4 verdict: the hand-written name list rots).
+# Tests are auto-tagged slow from MEASURED durations: every full-suite run
+# writes per-test call durations to /tmp/test_durations_last.json (hook
+# below); scripts/update_test_durations.py promotes that file to the
+# committed tests/durations.json, and collection marks anything at or above
+# SLOW_SECS. _SLOW_TESTS remains only as a seed/fallback for tests with no
+# measurement yet. Run the fast subset with `pytest -m "not slow"`.
+SLOW_SECS = 8.0
+_DURATIONS_FILE = os.path.join(os.path.dirname(__file__), "durations.json")
+
 _SLOW_TESTS = {
     # test_cli
     "test_smoke_runner", "test_trainer_gan_stage2", "test_train_cli_end_to_end",
@@ -89,8 +96,40 @@ _SLOW_TESTS = {
 }
 
 
+def _load_durations() -> dict:
+    import json
+
+    try:
+        with open(_DURATIONS_FILE) as f:
+            return json.load(f)
+    except (OSError, ValueError):
+        return {}
+
+
 def pytest_collection_modifyitems(config, items):
+    measured = _load_durations()
     for item in items:
-        base = item.name.split("[")[0]
-        if base in _SLOW_TESTS:
+        dur = measured.get(item.nodeid)
+        if dur is not None:
+            if dur >= SLOW_SECS:
+                item.add_marker(pytest.mark.slow)
+        elif item.name.split("[")[0] in _SLOW_TESTS:  # unmeasured: seed list
             item.add_marker(pytest.mark.slow)
+
+
+def pytest_terminal_summary(terminalreporter, exitstatus, config):
+    """Record measured call durations so the slow-tag stays truthful as tests
+    are added: promote with scripts/update_test_durations.py."""
+    import json
+
+    durations = {}
+    for reports in terminalreporter.stats.values():
+        for r in reports:
+            if getattr(r, "when", None) == "call":
+                durations[r.nodeid] = round(r.duration, 2)
+    if durations:
+        try:
+            with open("/tmp/test_durations_last.json", "w") as f:
+                json.dump(durations, f, indent=0, sort_keys=True)
+        except OSError:
+            pass

@@ -143,3 +143,44 @@ def test_patch_discriminator_shapes(rng):
     # (pix2pix semantics: 256 input → 30x30 patch map).
     assert out.shape == (2, 6, 6, 1)
     assert out.dtype == jnp.float32
+
+
+def test_self_perceptual_distance(rng):
+    """r5 (VERDICT 9): the LPIPS-slot self-perceptual distance — the frozen
+    trained encoder as the feature net. Zero on identical images, positive on
+    different ones, and differentiable w.r.t. the recon input."""
+    import jax.numpy as jnp
+
+    from deepl_project_tpu import TransVAE, get_config
+    from deepl_project_tpu.losses import make_self_perceptual, transvae_loss
+    from deepl_project_tpu.losses.vae_loss import LossWeights
+
+    cfg = get_config("tiny_f16d32", dtype="float32", attention_impl="xla")
+    cfg = cfg.replace(depths=(1, 1, 1), base_dims=(16, 16, 32), latent_dim=4,
+                      head_dim=16)
+    model = TransVAE(cfg)
+    x = jax.random.uniform(rng, (2, 16, 16, 3))
+    frozen = model.init({"params": rng, "sample": rng}, x)["params"]
+    fn = make_self_perceptual(model, frozen)
+
+    d_same = fn(x, x)
+    assert d_same.shape == (2,)
+    np.testing.assert_allclose(np.asarray(d_same), 0.0, atol=1e-6)
+    y = jnp.clip(x + 0.3, 0, 1)
+    d_diff = fn(y, x)
+    assert float(d_diff.min()) > 0
+
+    # Plugged into the loss: fills the lpips slot and carries gradient.
+    def loss_of(recon_logits):
+        out = transvae_loss(recon_logits, x, jnp.zeros((2, 1, 1, 4)),
+                            jnp.zeros((2, 1, 1, 4)),
+                            LossWeights(l1=0.0, lpips=1.0, kl=0.0, vf=0.0,
+                                        gan=0.0),
+                            perceptual_fn=fn)
+        return out["total"], out
+
+    (total, out), g = jax.value_and_grad(loss_of, has_aux=True)(
+        jnp.zeros((2, 16, 16, 3)))
+    assert float(out["lpips"]) > 0
+    assert float(total) == float(out["lpips"])
+    assert float(jnp.max(jnp.abs(g))) > 0
