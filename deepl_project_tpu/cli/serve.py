@@ -76,21 +76,35 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--mesh_sharding", default="tensor",
                    choices=["tensor", "fsdp", "replicate"],
                    help="param placement on the serving mesh")
-    p.add_argument("--quantize", default=None, choices=["int8"],
-                   help="post-training quantization of the serving path "
-                        "(ResBlock convs + ConvFFN on the int8 MXU mode; "
-                        "calibrated on synthetic batches at "
-                        "--warmup_resolution or 256px)")
-    p.add_argument("--quantize_scope", default="all",
+    p.add_argument("--quantize", default=None, choices=["int8", "none"],
+                   help="post-training quantization of the serving path. "
+                        "Unset = AUTO: single-chip serving defaults to int8 "
+                        "scope=resblock (+7.4%% throughput at batch 32 for a "
+                        "measured -0.04 dB PSNR; PERFORMANCE.md 'Int8 PTQ "
+                        "serving path'); multi-chip (--mesh_model > 1) "
+                        "defaults to 'none' so params stay tensor-parallel "
+                        "bf16. 'none' always serves pure bf16. Calibrated on "
+                        "synthetic batches at --warmup_resolution or 256px")
+    p.add_argument("--quantize_scope", default="resblock",
                    choices=["all", "resblock", "ffn"],
-                   help="module families int8 covers; 'all' wins in the "
-                        "weight-HBM-bound small-batch regime (PERFORMANCE.md "
-                        "'Int8 PTQ serving path')")
+                   help="module families int8 covers; 'resblock' (default) "
+                        "wins in the batched compute-bound regime, 'all' in "
+                        "the weight-HBM-bound small-batch / big-variant "
+                        "regime (PERFORMANCE.md 'Int8 PTQ serving path')")
     p.add_argument("--param_dtype", default=None, choices=["bfloat16"],
                    help="serve with bf16 params — required to fit the huge "
                         "(2.49B) / giant (4.84B) variants in one 16 GB chip "
                         "(measured 16.07 / 8.02 img/s @256; PERFORMANCE.md)")
     return p
+
+
+def resolve_quantize(quantize: str | None, mesh_model: int) -> str:
+    """The serving default (r5): int8 scope=resblock on a single chip
+    (+7.4% at b32 for -0.04 dB, PERFORMANCE.md 'Int8 PTQ serving path');
+    pure bf16 on a multi-chip mesh so params stay tensor-parallel."""
+    if quantize is None:
+        return "int8" if mesh_model == 1 else "none"
+    return quantize
 
 
 def main(argv=None):
@@ -140,6 +154,13 @@ def main(argv=None):
         params = init_params(model, jax.random.PRNGKey(0), image_size=64)
         print("[serve] WARNING: no --checkpoint; serving random weights")
 
+    if args.quantize is None:  # AUTO: int8-resblock single-chip, bf16 on mesh
+        args.quantize = resolve_quantize(args.quantize, args.mesh_model)
+        print(f"[serve] quantize=auto -> {args.quantize}"
+              + (" scope=" + args.quantize_scope
+                 if args.quantize == "int8" else " (multi-chip mesh)"))
+    if args.quantize == "none":
+        args.quantize = None
     if args.quantize == "int8":
         from ..data.datasets import synthetic_shapes_dataset
         from ..quantize import quantize_model

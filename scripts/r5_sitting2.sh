@@ -1,0 +1,134 @@
+#!/bin/bash
+# Round-5 sitting-2 measured-run queue. Runs AFTER scripts/r5_retake2.sh
+# frees the chip (the axon tunnel is single-client). Each job is gated on its
+# RESULTS artifact so the queue is idempotent; raw logs are tee'd under runs/
+# and the tail of each goes into the RESULTS JSON via record_run (VERDICT r4
+# weak #4: measured-claim provenance).
+set -u
+cd /root/repo
+export PYTHONPATH=/root/repo${PYTHONPATH:+:$PYTHONPATH}
+export JAX_COMPILATION_CACHE_DIR=/tmp/jax_cache
+mkdir -p runs RESULTS /tmp/jax_cache
+
+stamp() { date -u "+%Y-%m-%dT%H:%M:%S"; }
+have() { [ -s "$1" ]; }
+run() { local bound=$1 tag=$2; shift 2
+  echo "[$(stamp)] START $tag"; timeout "$bound" "$@"
+  echo "[$(stamp)] END $tag rc=$?"; }
+commit_results() { git add RESULTS/ && git commit -m "$1" || true; }
+probe() {
+  timeout 420 python -c "
+import jax, jax.numpy as jnp
+x = jnp.ones((512, 512), jnp.bfloat16)
+print('probe ok', float((x @ x).astype(jnp.float32).sum()))" \
+    || { echo "[$(stamp)] PROBE FAILED rc=$? — waiting 120s"; sleep 120; }
+}
+
+probe
+
+# ---- 1. DiT-S/2 FID trajectory: finish the cut run (2300 -> 3000) ----------
+# The r4 queue's run recorded a falling vgg_gen_fid curve (43.5@500 ->
+# 41.8@2000) but was cut at step 2300 with no periodic checkpoint; the best/
+# dir holds step 2000. Seed a resume from it and finish the protocol.
+if ! grep -q fid_curve RESULTS/dit_s_tiny256_fid.json 2>/dev/null; then
+  if [ -d runs/dit_s_tiny256/best/2000 ] && [ ! -d runs/dit_s_tiny256/2000 ]; then
+    cp -r runs/dit_s_tiny256/best/2000 runs/dit_s_tiny256/2000
+  fi
+  run 6000 dit_fid python -m deepl_project_tpu.cli.train_dit \
+      --dit_variant S --vae_variant tiny --vae_compression 16 \
+      --vae_checkpoint runs/two_stage_tiny256/checkpoints_best \
+      --data shapes --resolution 256 --batch_size 64 \
+      --total_steps 3000 --warmup_steps 200 --lr 2e-4 \
+      --fid_every 500 --fid_samples 128 --save_every 3000 --resume \
+      --output_dir runs/dit_s_tiny256 2>&1 | tee runs/dit_fid_r5.log
+  python scripts/record_run.py --run_dir runs/dit_s_tiny256 \
+      --name dit_s_tiny256_fid \
+      --note "DiT-S/2 rectified flow on two_stage_tiny256 stage-1 latents (shapes, unconditional); vgg_gen_fid every 500 steps, 128 samples, 50 Euler steps. Resumed from the best/2000 checkpoint after the r4 cut at 2300; fid_curve covers the full 3000-step protocol." || true
+  commit_results "RESULTS: DiT-S/2 generation-FID trajectory completed to 3000 steps with full fid_curve"
+  probe
+fi
+
+# ---- 2. Extrapolation retake from the 33.4 dB stage-1 best -----------------
+# (VERDICT r4 item 7: the recorded sweep used the r3 27.9 dB checkpoint; the
+# paper's Table-1 claim is strongest on well-trained models, and reports rFID
+# alongside PSNR per resolution.)
+if ! have RESULTS/extrapolation_tiny256_r5.json; then
+  run 3600 extrap bash -c "python scripts/reproduce/test_rope_extrapolation.py \
+      --checkpoint runs/two_stage_tiny256/checkpoints_best --data shapes \
+      --resolutions 256 512 1024 --num_images 32 --rfid --chunk 8 \
+      | tee runs/extrap_r5.json"
+  python scripts/record_run.py --name extrapolation_tiny256_r5 \
+      --json "$(grep -v probe runs/extrap_r5.json | python -c 'import sys,json; print(json.dumps(json.load(sys.stdin)))')" \
+      --note "RoPE extrapolation sweep from the r4/r5 33.4 dB stage-1 best checkpoint (runs/two_stage_tiny256/checkpoints_best): PSNR+SSIM+vgg_rfid at 256/512/1024, 32 shapes images, chunked forwards. Mirrors paper Table 1's per-resolution rFID+PSNR layout (vgg-feature FID fallback — relative only, WEIGHTS.md)." || true
+  commit_results "RESULTS: extrapolation sweep retake from the 33.4 dB checkpoint (PSNR+SSIM+vgg_rfid @256/512/1024)"
+  probe
+fi
+
+# ---- 3. bf16-params bench A/B recapture (provenance) -----------------------
+if ! have RESULTS/bench_bf16_params_r5.json; then
+  run 2400 bench_bf16 bash -c "BENCH_PARAM_DTYPE=bfloat16 BENCH_QUANT=0 \
+      python bench.py 2>&1 | tee runs/bench_bf16_r5.log"
+  python scripts/record_run.py --name bench_bf16_params_r5 \
+      --json "$(grep -o '{.*}' runs/bench_bf16_r5.log | tail -1)" \
+      --note "bf16-params bench A/B recapture with committed provenance (VERDICT r4 weak #4: the r4 50.4 img/s number survived only in a script-header comment). Headline stays fp32 params; see PERFORMANCE.md bf16-params A/B." || true
+  commit_results "RESULTS: bf16-params bench A/B recaptured with committed log"
+  probe
+fi
+
+# ---- 4. EMA A/B under constant LR (the r3 dip regime) ----------------------
+# (VERDICT r4 weak #5: the only completed EMA run used cosine LR with no dip,
+# so EMA-preferred best-selection could not be distinguished from EMA lag.)
+if ! have RESULTS/ema_ab_constlr.json; then
+  run 7200 ema_ab python -m deepl_project_tpu.cli.train \
+      --variant tiny --data shapes --resolution 256 --batch_size 16 \
+      --lr 2e-4 --warmup_steps 500 --lr_schedule constant \
+      --l1_weight 1.0 --lpips_weight 1.0 --kl_weight 1e-8 --vf_weight 0.1 \
+      --ema_decay 0.999 \
+      --num_epochs 6 --steps_per_epoch 1000 --eval_every_steps 500 \
+      --val_batches 8 --save_every_steps 2000 --seed 42 \
+      --output_dir runs/ema_ab_constlr 2>&1 | tee runs/ema_ab_constlr.log
+  python scripts/record_run.py --run_dir runs/ema_ab_constlr \
+      --name ema_ab_constlr \
+      --note "EMA A/B leg 2: IDENTICAL recipe to the r4 stage-1 run (RESULTS/two_stage_tiny256_s1.json) except lr_schedule=constant — the regime where r3 saw a 2.6 dB end-of-run val-PSNR dip. Question: does the EMA shadow smooth the dip and beat raw-param best-selection? Compare val_curve psnr vs psnr_ema here and in the cosine leg." || true
+  commit_results "RESULTS: EMA A/B constant-LR leg (dip regime)"
+  probe
+fi
+
+# ---- 5. Self-perceptual A/B (VERDICT r4 item 9) ----------------------------
+# l1-only vs l1+self-perceptual (frozen trained encoder as the LPIPS-slot
+# feature net). Same seed/recipe otherwise; eval best ckpts with vgg_rfid.
+if ! have RESULTS/self_perceptual_ab.json; then
+  run 4200 ab_l1only python -m deepl_project_tpu.cli.train \
+      --variant tiny --data shapes --resolution 256 --batch_size 16 \
+      --lr 2e-4 --warmup_steps 500 --lr_schedule constant \
+      --l1_weight 1.0 --lpips_weight 0 --kl_weight 1e-8 --vf_weight 0 \
+      --ema_decay 0.999 \
+      --num_epochs 3 --steps_per_epoch 1000 --eval_every_steps 500 \
+      --val_batches 8 --save_every_steps 3000 --seed 123 \
+      --output_dir runs/ab_l1only 2>&1 | tee runs/ab_l1only.log
+  probe
+  run 4800 ab_selfp python -m deepl_project_tpu.cli.train \
+      --variant tiny --data shapes --resolution 256 --batch_size 16 \
+      --lr 2e-4 --warmup_steps 500 --lr_schedule constant \
+      --l1_weight 1.0 --lpips_weight 1.0 --kl_weight 1e-8 --vf_weight 0 \
+      --perceptual self \
+      --perceptual_checkpoint runs/two_stage_tiny256/checkpoints_best \
+      --ema_decay 0.999 \
+      --num_epochs 3 --steps_per_epoch 1000 --eval_every_steps 500 \
+      --val_batches 8 --save_every_steps 3000 --seed 123 \
+      --output_dir runs/ab_selfpercep 2>&1 | tee runs/ab_selfpercep.log
+  probe
+  run 1800 ab_eval1 python -m deepl_project_tpu.cli.evaluate \
+      --checkpoint runs/ab_l1only/checkpoints_best --data shapes \
+      --resolution 256 --no_lpips --num_batches 8 --rfid \
+      --output_dir runs/ab_l1only/eval_best
+  run 1800 ab_eval2 python -m deepl_project_tpu.cli.evaluate \
+      --checkpoint runs/ab_selfpercep/checkpoints_best --data shapes \
+      --resolution 256 --no_lpips --num_batches 8 --rfid \
+      --output_dir runs/ab_selfpercep/eval_best
+  python scripts/record_self_perceptual_ab.py || true
+  commit_results "RESULTS: self-perceptual A/B (l1-only vs frozen-encoder perceptual term)"
+  probe
+fi
+
+echo "[$(stamp)] R5 SITTING2 DONE"

@@ -367,3 +367,19 @@ def test_mesh_engine_http_round_trip(engine):
     finally:
         server.shutdown()
         mesh_engine.stop()
+
+
+def test_serve_cli_default_is_int8_resblock():
+    """r5 (VERDICT 2): the measured int8 scope=resblock path (+7.4% at b32,
+    -0.04 dB) is the first-class serving default (AUTO resolves to int8 on a
+    single chip, bf16 on a TP mesh); 'none' opts out."""
+    from deepl_project_tpu.cli.serve import build_parser, resolve_quantize
+
+    args = build_parser().parse_args([])
+    assert args.quantize is None  # AUTO sentinel, resolved in main()
+    assert args.quantize_scope == "resblock"
+    assert build_parser().parse_args(["--quantize", "none"]).quantize == "none"
+    assert resolve_quantize(None, 1) == "int8"
+    assert resolve_quantize(None, 4) == "none"  # TP mesh stays bf16
+    assert resolve_quantize("none", 1) == "none"
+    assert resolve_quantize("int8", 4) == "int8"  # explicit wins
