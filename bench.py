@@ -143,6 +143,13 @@ def main():
                 q_img_s / (3.0 * a100_img_s), 4)
             record["int8_resblock_delta_pct"] = round(
                 100.0 * (q_img_s / images_per_sec - 1.0), 1)
+            # r5: int8 scope=resblock IS the single-chip serving default
+            # (cli/serve.py resolve_quantize; −0.04 dB measured) — surface it
+            # as such, not only as a side-lever.
+            record["serving_default"] = "int8 scope=resblock (-0.04 dB)"
+            record["serving_default_images_per_sec"] = round(q_img_s, 2)
+            record["serving_default_vs_baseline"] = round(
+                q_img_s / (3.0 * a100_img_s), 4)
         except Exception as e:  # never let the lever break the headline
             record["int8_error"] = f"{type(e).__name__}: {e}"
 
