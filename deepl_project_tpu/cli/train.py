@@ -104,6 +104,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--gan_adaptive_max", type=float, default=1.0,
                    help="clamp on the VQGAN adaptive ratio (1.0 = down-only; "
                         "VQGAN's 1e4 permits the measured 41.9x explosion)")
+    p.add_argument("--gan_disc_loss_floor", type=float, default=0.6,
+                   help="freeze discriminator updates while its loss is "
+                        "below this floor — the 'don't let D win' control "
+                        "(hinge: ~2.0 untrained, 0.0 = perfect separation; "
+                        "0 disables)")
     p.add_argument("--divergence_halt_db", type=float, default=5.0,
                    help="halt when selection PSNR sits this many dB below "
                         "the run's best for --divergence_patience consecutive "
@@ -220,6 +225,7 @@ def main(argv=None):
         gan_warmup_steps=args.gan_warmup_steps,
         gan_ramp_steps=args.gan_ramp_steps,
         gan_adaptive_max=args.gan_adaptive_max,
+        gan_disc_loss_floor=args.gan_disc_loss_floor,
         lr_schedule=args.lr_schedule,
         skip_data_on_resume=args.skip_data_on_resume,
         divergence_halt_db=args.divergence_halt_db,

@@ -208,6 +208,7 @@ def make_gan_train_step(
     gan_warmup_steps: int = 0,
     gan_ramp_steps: int = 1,
     adaptive_max: float = 1e4,
+    disc_loss_floor: float = 0.0,
     perceptual_fn: Callable | None = None,
 ):
     """Stage-2 adversarial step: one generator update + one discriminator
@@ -241,6 +242,17 @@ def make_gan_train_step(
     - ``adaptive_max`` — clamp on the adaptive ratio. VQGAN's 1e4 permits the
       41.9x amplification above; 1.0 makes the rule down-only (the GAN term
       never gets MORE last-layer gradient than the reconstruction loss).
+    - ``disc_loss_floor`` — the discriminator's updates are ZEROED whenever
+      its current-batch loss is already below this floor (0 disables). Ramp +
+      clamp alone were still not enough (r5 attempt 3): the game held a
+      healthy equilibrium for 400 steps (disc hinge ~1.8, logit means ~0),
+      then the discriminator abruptly achieved near-perfect separation
+      (hinge 1.8 -> 0.0, real-logit mean 4.6 within 100 steps) and the
+      runaway destroyed reconstructions (l1 0.016 -> 0.22). The floor cuts
+      that loop at its root: a discriminator that is already winning stops
+      training until the generator catches up — the classic "don't let D
+      win" control. For the hinge loss, an untrained D sits at ~2.0 and
+      perfect separation at 0.0; 0.6 keeps D near the decision boundary.
 
     Returns fn(gen_state, disc_state, batch, rng) -> (gen_state, disc_state,
     metrics).
@@ -333,6 +345,13 @@ def make_gan_train_step(
         fake = jax.lax.stop_gradient(jax.nn.sigmoid(recon.astype(jnp.float32)))
         (_, d_metrics), d_grads = jax.value_and_grad(
             disc_loss_fn, has_aux=True)(disc_state.params["model"], batch, fake)
+        if disc_loss_floor > 0:
+            # Freeze D while it is already winning (loss under the floor):
+            # zero its grads so the optimizer holds position (moments decay).
+            d_scale = (d_metrics["disc_loss"] >= disc_loss_floor).astype(
+                jnp.float32)
+            d_grads = jax.tree_util.tree_map(lambda g_: g_ * d_scale, d_grads)
+            d_metrics = {**d_metrics, "disc_update_scale": d_scale}
         d_updates, d_opt = disc_tx.update(
             {"model": d_grads}, disc_state.opt_state, disc_state.params)
         disc_state = disc_state.replace(step=disc_state.step + 1,

@@ -96,6 +96,12 @@ class TrainerConfig:
     # outweighs the reconstruction gradient at the last layer); VQGAN's own
     # 1e4 permits the measured 41.9x explosion.
     gan_adaptive_max: float = 1.0
+    # Discriminator updates are zeroed while its current-batch loss is below
+    # this floor — the "don't let D win" control (see make_gan_train_step;
+    # r5 attempt 3: D abruptly reached perfect separation and the runaway
+    # destroyed reconstructions in 100 steps even with warmup+ramp+clamp).
+    # Hinge loss: ~2.0 untrained, 0.0 at perfect separation.
+    gan_disc_loss_floor: float = 0.6
     # 'constant' (reference recipe: warmup then flat) or 'cosine' (warmup
     # then cosine decay over num_epochs*steps_per_epoch — the r3 val-PSNR
     # dip A/B lever).
@@ -212,7 +218,8 @@ class Trainer:
                 ema_decay=train_config.ema_decay or None,
                 gan_warmup_steps=train_config.gan_warmup_steps,
                 gan_ramp_steps=train_config.gan_ramp_steps,
-                adaptive_max=train_config.gan_adaptive_max)
+                adaptive_max=train_config.gan_adaptive_max,
+                disc_loss_floor=train_config.gan_disc_loss_floor)
             self._disc_state = None
 
             def gan_adapter(state, batch, rng):
@@ -543,18 +550,25 @@ class Trainer:
                     if self.cfg.keep_best and sel > self._best_psnr:
                         self._best_psnr = sel
                         self.save(state, epoch, best=True, val=val)
+                    # The breaker watches the RAW val PSNR, not the EMA
+                    # selection metric: an EMA shadow lags a collapse by
+                    # thousands of steps (r5 attempt 3: raw fell 32.7 -> 11.8
+                    # in one eval interval while the EMA still read 33.4).
+                    raw = val.get("val_psnr", sel)
+                    self._best_raw_psnr = max(
+                        getattr(self, "_best_raw_psnr", float("-inf")), raw)
                     if (self.cfg.divergence_halt_db > 0
-                            and np.isfinite(self._best_psnr)
-                            and sel < self._best_psnr
+                            and np.isfinite(self._best_raw_psnr)
+                            and raw < self._best_raw_psnr
                             - self.cfg.divergence_halt_db):
                         diverged_evals += 1
                         if diverged_evals >= self.cfg.divergence_patience:
                             self.save(state, epoch)
                             print(
-                                f"[trainer] DIVERGENCE HALT: selection PSNR "
-                                f"{sel:.2f} dB has sat more than "
+                                f"[trainer] DIVERGENCE HALT: raw val PSNR "
+                                f"{raw:.2f} dB has sat more than "
                                 f"{self.cfg.divergence_halt_db:.1f} dB below "
-                                f"the best ({self._best_psnr:.2f} dB) for "
+                                f"the best ({self._best_raw_psnr:.2f} dB) for "
                                 f"{diverged_evals} consecutive evals — the "
                                 "model has collapsed and will not recover. "
                                 "Halting; resume from checkpoints_best/ with "

@@ -739,3 +739,49 @@ def test_adaptive_gan_weight_clamp():
     assert float(w_unclamped) > 100
     w_clamped = adaptive_gan_weight(rec, gan, max_weight=1.0)
     assert float(w_clamped) == 1.0
+
+
+def test_disc_loss_floor_freezes_winning_disc(rng):
+    """r5: the 'don't let D win' control — discriminator updates are zeroed
+    while its current-batch loss is below the floor. Attempt 3 measured the
+    runaway this prevents: D reached perfect separation (hinge 1.8 -> 0.0)
+    and destroyed reconstructions within 100 steps despite warmup+ramp+clamp."""
+    model = micro_model()
+    disc = PatchDiscriminator(base_channels=8, num_layers=2, dtype=jnp.float32)
+    x = jax.random.uniform(rng, (2, 16, 16, 3))
+    mvars = model.init({"params": rng, "sample": rng}, x)
+    dvars = disc.init(rng, x)
+    gen_tx, disc_tx = make_optimizer(1e-3, 0), make_optimizer(1e-3, 0)
+    w = LossWeights(lpips=0.0, kl=0.0, vf=0.0, gan=0.05)
+
+    def fresh_states():
+        return (init_train_state(
+                    {"model": jax.tree_util.tree_map(jnp.copy,
+                                                     mvars["params"])},
+                    gen_tx),
+                init_train_state(
+                    {"model": jax.tree_util.tree_map(jnp.copy,
+                                                     dvars["params"])},
+                    disc_tx))
+
+    # Floor above any reachable hinge loss (~2.0 untrained): D always frozen.
+    gen_state, disc_state = fresh_states()
+    step = make_gan_train_step(model, disc, gen_tx, disc_tx, w,
+                               disc_loss_floor=100.0)
+    _, disc_after, m = step(gen_state, disc_state, x, rng)
+    assert float(m["disc_update_scale"]) == 0.0
+    for a, b in zip(jax.tree_util.tree_leaves(dvars["params"]),
+                    jax.tree_util.tree_leaves(disc_after.params["model"])):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert int(disc_after.step) == 1  # the counter still advances (warmup)
+
+    # Floor below: D trains normally.
+    gen_state, disc_state = fresh_states()
+    step2 = make_gan_train_step(model, disc, gen_tx, disc_tx, w,
+                                disc_loss_floor=1e-6)
+    _, disc_after2, m2 = step2(gen_state, disc_state, x, rng)
+    assert float(m2["disc_update_scale"]) == 1.0
+    moved = jax.tree_util.tree_map(
+        lambda a, b: float(jnp.max(jnp.abs(a - b))),
+        dvars["params"], disc_after2.params["model"])
+    assert max(jax.tree_util.tree_leaves(moved)) > 0
