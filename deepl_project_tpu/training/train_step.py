@@ -328,6 +328,10 @@ def make_gan_train_step(
             gen_loss_fn, has_aux=True)(gen_state.params,
                                        disc_state.params["model"], batch,
                                        g_rng, gan_scale)
+        # A non-finite grad_norm in the logs is the visible trace of
+        # apply_if_finite silently skipping updates — the r4 collapse froze
+        # params for 2,500 steps with nothing in the metrics to show it.
+        g_metrics["grad_norm"] = optax.global_norm(g_grads)
         g_updates, g_opt = gen_tx.update(g_grads, gen_state.opt_state,
                                          gen_state.params)
         g_params = optax.apply_updates(gen_state.params, g_updates)
