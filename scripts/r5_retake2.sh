@@ -16,11 +16,19 @@
 #                                runaway destroyed recon in 100 steps
 #                                (l1 0.016 -> 0.22, val 32.7 -> 11.8 raw).
 #                                RESULTS/two_stage_tiny256_s2_rampclamp.json.
-#   attempt 4 (this script):     + gan_disc_loss_floor 0.6 — D's updates are
-#                                zeroed while it is already winning (the
-#                                classic "don't let D win" control), cutting
-#                                the runaway at its root. Breaker now watches
-#                                RAW val PSNR (the EMA lags a collapse).
+#   attempt 4 (warmup+floor):    the floor froze a winning D correctly, but
+#                                G still degraded against the FROZEN D it had
+#                                never co-adapted to (l1 0.016 -> 0.27 at
+#                                scale 0.6-0.8). The WARMUP is the root
+#                                defect: it hands D an edge. r3's stable
+#                                fixed-weight run co-evolved both nets from
+#                                scratch. RESULTS/..._s2_floor06.json.
+#   attempt 5 (this script):     both-fresh co-evolution — NO warmup, NO
+#                                ramp (the clamp alone kills the 41.9x
+#                                explosion that warmup was masking), adaptive
+#                                clamp 1.0, disc floor 1.0 (D frozen as soon
+#                                as it wins on average). Breaker watches RAW
+#                                val PSNR.
 set -u
 cd /root/repo
 export PYTHONPATH=/root/repo${PYTHONPATH:+:$PYTHONPATH}
@@ -41,14 +49,14 @@ run 5400 two_stage_s2b python -m deepl_project_tpu.cli.train \
     --lr 1e-4 --warmup_steps 0 \
     --l1_weight 1.0 --lpips_weight 1.0 --kl_weight 1e-8 --vf_weight 0.1 \
     --use_gan --gan_weight 0.05 --freeze_encoder --gan_adaptive_weight \
-    --gan_warmup_steps 500 --gan_ramp_steps 1000 --gan_adaptive_max 1.0 \
-    --gan_disc_loss_floor 0.6 --ema_decay 0.999 \
+    --gan_warmup_steps 0 --gan_ramp_steps 1 --gan_adaptive_max 1.0 \
+    --gan_disc_loss_floor 1.0 --ema_decay 0.999 \
     --num_epochs 8 --steps_per_epoch 1000 --eval_every_steps 500 \
     --val_batches 8 --save_every_steps 2000 --seed 42 \
     --output_dir runs/two_stage_tiny256_s2b
 python scripts/record_run.py --run_dir runs/two_stage_tiny256_s2b \
     --name two_stage_tiny256_s2_fixed \
-    --note "stage-2 RETAKE (attempt 4) with gan_warmup_steps=500 + gan_ramp_steps=1000 + adaptive clamp 1.0 + disc_loss_floor 0.6: same lineage/flags as the collapsed runs otherwise (+gan 0.05 adaptive, frozen encoder, ema 0.999). Attempt 1 (no warmup) exploded 41.9x -> 10.6 dB; attempt 2 (gate only) collapsed 33.5 -> 7.3 at the step handoff; attempt 3 (ramp+clamp, no floor) held 400 healthy steps then D won abruptly (hinge -> 0) and destroyed recon. The floor freezes a winning D until G catches up." || true
+    --note "stage-2 RETAKE (attempt 5): both-fresh co-evolution — NO disc warmup/ramp, adaptive clamp 1.0 (kills the 41.9x explosion attempt 1 hit), disc_loss_floor 1.0 (D freezes as soon as it wins on average; G never faces a D it didn't co-adapt to — the failure of attempts 2-4, where ANY disc head start destabilized G). Same lineage/flags as the collapsed runs otherwise (+gan 0.05 adaptive, frozen encoder, ema 0.999); divergence breaker on raw val PSNR." || true
 git add RESULTS/ && git commit -m "RESULTS: stage-2 retake with warmup+ramp+clamp (fix validation)" || true
 
 run 1800 eval_s2b python -m deepl_project_tpu.cli.evaluate \
