@@ -90,7 +90,8 @@ if ! have RESULTS/ema_ab_constlr.json; then
   python scripts/record_run.py --run_dir runs/ema_ab_constlr \
       --name ema_ab_constlr \
       --note "EMA A/B leg 2: IDENTICAL recipe to the r4 stage-1 run (RESULTS/two_stage_tiny256_s1.json) except lr_schedule=constant — the regime where r3 saw a 2.6 dB end-of-run val-PSNR dip. Question: does the EMA shadow smooth the dip and beat raw-param best-selection? Compare val_curve psnr vs psnr_ema here and in the cosine leg." || true
-  commit_results "RESULTS: EMA A/B constant-LR leg (dip regime)"
+  python scripts/record_ema_ab.py || true
+  commit_results "RESULTS: EMA A/B constant-LR leg + selection-default decision"
   probe
 fi
 
@@ -128,6 +129,21 @@ if ! have RESULTS/self_perceptual_ab.json; then
       --output_dir runs/ab_selfpercep/eval_best
   python scripts/record_self_perceptual_ab.py || true
   commit_results "RESULTS: self-perceptual A/B (l1-only vs frozen-encoder perceptual term)"
+  probe
+fi
+
+# ---- 6. Perf levers: flash block sweep at N=4096 + batch re-sweep ----------
+if [ ! -s runs/flash_n4096_sweep.log ]; then
+  run 2400 flash_sweep bash -c "PYTHONPATH=/root/repo:/root/.axon_site \
+      python scripts/bench_flash_n4096.py 2>&1 | tee runs/flash_n4096_sweep.log"
+  probe
+fi
+if [ ! -s runs/batch_sweep_r5.log ]; then
+  run 3000 batch_sweep bash -c '
+    for B in 32 48 64; do
+      echo "== BENCH_BATCH=$B"
+      BENCH_BATCH=$B BENCH_QUANT=0 python bench.py
+    done 2>&1 | tee runs/batch_sweep_r5.log'
   probe
 fi
 
