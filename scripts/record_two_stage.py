@@ -76,10 +76,14 @@ def main() -> None:
     }
     if os.path.isdir(S2B):
         record["stage2_fixed"] = {
-            "note": ("stage-2 retake with gan_warmup_steps=500 (VQGAN "
-                     "disc_start analogue) after the un-warmed adaptive "
-                     "weight exploded 41.9x at handoff and collapsed the "
-                     "decoder to ~10.6 dB with no recovery"),
+            "note": ("stage-2 retake (attempt 5): both-fresh co-evolution — "
+                     "no disc warmup/ramp, adaptive ratio clamped down-only "
+                     "at 1.0 (kills the 41.9x explosion of attempt 1), "
+                     "disc_loss_floor 1.0 (D's updates freeze while it wins "
+                     "on average). Attempts 1-4 each collapsed and are "
+                     "recorded as negative results (s2, _warmuponly, "
+                     "_rampclamp, _floor06): ANY discriminator head start "
+                     "destabilized the generator"),
             "summary": summarize_history(load_rows(S2B)),
             "best_ckpt": best_meta(S2B),
             "eval_best": load_eval(S2B),
