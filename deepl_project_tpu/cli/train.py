@@ -92,15 +92,16 @@ def build_parser() -> argparse.ArgumentParser:
                    help="VQGAN adaptive GAN weight ||g_rec||/||g_gan|| on the "
                         "decoder's last layer (logged as "
                         "adaptive_gan_weight)")
-    p.add_argument("--gan_warmup_steps", type=int, default=500,
-                   help="VQGAN disc_start analogue: generator GAN term is "
-                        "zeroed until the fresh discriminator has taken this "
-                        "many steps (prevents the adaptive-ratio explosion)")
-    p.add_argument("--gan_ramp_steps", type=int, default=1000,
+    p.add_argument("--gan_warmup_steps", type=int, default=0,
+                   help="VQGAN disc_start analogue: generator GAN term "
+                        "zeroed for the discriminator's first N steps. "
+                        "Default 0: measured r4/r5 runs show ANY disc head "
+                        "start destabilizes the generator; co-evolution "
+                        "from scratch is the stable regime")
+    p.add_argument("--gan_ramp_steps", type=int, default=1,
                    help="linear 0->1 ramp of the GAN term after the warmup "
-                        "gate opens (a step-function handoff against the "
-                        "warmed discriminator collapses reconstructions; "
-                        "1 = step function)")
+                        "gate opens (1 = step function; only meaningful "
+                        "with --gan_warmup_steps > 0)")
     p.add_argument("--gan_adaptive_max", type=float, default=1.0,
                    help="clamp on the VQGAN adaptive ratio (1.0 = down-only; "
                         "VQGAN's 1e4 permits the measured 41.9x explosion)")
@@ -109,6 +110,10 @@ def build_parser() -> argparse.ArgumentParser:
                         "below this floor — the 'don't let D win' control "
                         "(hinge: ~2.0 untrained, 0.0 = perfect separation; "
                         "0 disables)")
+    p.add_argument("--gan_r1_gamma", type=float, default=0.0,
+                   help="R1 gradient penalty on the discriminator "
+                        "(StyleGAN slope control; bounds dD/dx, which the "
+                        "hinge loss does not; 0 disables)")
     p.add_argument("--divergence_halt_db", type=float, default=5.0,
                    help="halt when selection PSNR sits this many dB below "
                         "the run's best for --divergence_patience consecutive "
@@ -226,6 +231,7 @@ def main(argv=None):
         gan_ramp_steps=args.gan_ramp_steps,
         gan_adaptive_max=args.gan_adaptive_max,
         gan_disc_loss_floor=args.gan_disc_loss_floor,
+        gan_r1_gamma=args.gan_r1_gamma,
         lr_schedule=args.lr_schedule,
         skip_data_on_resume=args.skip_data_on_resume,
         divergence_halt_db=args.divergence_halt_db,

@@ -209,6 +209,7 @@ def make_gan_train_step(
     gan_ramp_steps: int = 1,
     adaptive_max: float = 1e4,
     disc_loss_floor: float = 0.0,
+    r1_gamma: float = 0.0,
     perceptual_fn: Callable | None = None,
 ):
     """Stage-2 adversarial step: one generator update + one discriminator
@@ -253,6 +254,14 @@ def make_gan_train_step(
       training until the generator catches up — the classic "don't let D
       win" control. For the hinge loss, an untrained D sits at ~2.0 and
       perfect separation at 0.0; 0.6 keeps D near the decision boundary.
+    - ``r1_gamma`` — R1 gradient penalty γ/2·E[||∇_x D(x_real)||²] on the
+      discriminator (StyleGAN's slope control; 0 disables). r5 attempt 5
+      exposed why output-side controls are not enough: with the game fully
+      balanced (hinge ~2.0, logit means ~0), the generator's grad_norm still
+      exploded 9.8 → inf within 600 steps — D's LIPSCHITZ CONSTANT grew in
+      an arms race even though its outputs never separated, and the
+      generator's gradients flow through that slope. The hinge loss bounds
+      D's outputs on data, not its slope; R1 bounds the slope.
 
     Returns fn(gen_state, disc_state, batch, rng) -> (gen_state, disc_state,
     metrics).
@@ -310,9 +319,20 @@ def make_gan_train_step(
         real_logits = disc.apply({"params": disc_params}, real)
         fake_logits = disc.apply({"params": disc_params}, fake)
         loss = discriminator_loss(real_logits, fake_logits, disc_loss_kind)
-        return loss, {"disc_loss": loss,
-                      "disc_real_mean": jnp.mean(real_logits),
-                      "disc_fake_mean": jnp.mean(fake_logits)}
+        metrics = {"disc_loss": loss,
+                   "disc_real_mean": jnp.mean(real_logits),
+                   "disc_fake_mean": jnp.mean(fake_logits)}
+        if r1_gamma > 0:
+            def dsum(x):
+                return jnp.sum(disc.apply({"params": disc_params},
+                                          x).astype(jnp.float32))
+
+            g = jax.grad(dsum)(real.astype(jnp.float32))
+            r1 = jnp.mean(jnp.sum(
+                jnp.square(g.reshape(g.shape[0], -1)), axis=-1))
+            loss = loss + 0.5 * r1_gamma * r1
+            metrics["disc_r1"] = r1
+        return loss, metrics
 
     def step(gen_state: TrainState, disc_state: TrainState, batch, rng):
         rng = jax.random.fold_in(rng, gen_state.step)

@@ -83,15 +83,16 @@ class TrainerConfig:
     gan_adaptive_weight: bool = False
     # VQGAN disc_start analogue, counted on the DISCRIMINATOR's steps: the
     # generator's GAN term is zeroed until the fresh discriminator has taken
-    # this many steps. Without it the adaptive ratio explodes against a
-    # random discriminator (measured 41.9x / -22 dB in 100 steps, r4).
-    gan_warmup_steps: int = 500
-    # After the gate opens, the GAN term ramps linearly 0 -> 1 over this many
-    # steps. The gate alone is insufficient: a step-function handoff against
-    # the (by then near-converged) discriminator collapsed reconstructions a
-    # second time (r5 measured: 33.5 -> 7.3 dB; RESULTS two_stage s2
-    # lineage). 1 = step function.
-    gan_ramp_steps: int = 1000
+    # this many steps. DEFAULT 0 (off): five measured r4/r5 runs showed ANY
+    # discriminator head start destabilizes the generator at handoff, while
+    # the cold-start adaptive-ratio explosion warmup was masking is fixed
+    # properly by gan_adaptive_max. Both nets co-evolving from scratch is the
+    # stable regime (13k-step r3 run; RESULTS/two_stage_tiny256_s2_*.json
+    # negative results document every other schedule tried).
+    gan_warmup_steps: int = 0
+    # Linear 0 -> 1 ramp of the GAN term after the warmup gate (1 = step
+    # function = default, matching warmup 0; only meaningful with a warmup).
+    gan_ramp_steps: int = 1
     # Clamp on the VQGAN adaptive ratio. 1.0 = down-only (the GAN term never
     # outweighs the reconstruction gradient at the last layer); VQGAN's own
     # 1e4 permits the measured 41.9x explosion.
@@ -102,6 +103,11 @@ class TrainerConfig:
     # destroyed reconstructions in 100 steps even with warmup+ramp+clamp).
     # Hinge loss: ~2.0 untrained, 0.0 at perfect separation.
     gan_disc_loss_floor: float = 0.6
+    # R1 gradient penalty on the discriminator (StyleGAN slope control;
+    # 0 = off). Bounds ∂D/∂x — the hinge loss bounds outputs, not slope, and
+    # attempt 5 measured a D-slope arms race exploding the generator's
+    # grad_norm 9.8 -> inf while the game's outputs stayed balanced.
+    gan_r1_gamma: float = 0.0
     # 'constant' (reference recipe: warmup then flat) or 'cosine' (warmup
     # then cosine decay over num_epochs*steps_per_epoch — the r3 val-PSNR
     # dip A/B lever).
@@ -219,7 +225,8 @@ class Trainer:
                 gan_warmup_steps=train_config.gan_warmup_steps,
                 gan_ramp_steps=train_config.gan_ramp_steps,
                 adaptive_max=train_config.gan_adaptive_max,
-                disc_loss_floor=train_config.gan_disc_loss_floor)
+                disc_loss_floor=train_config.gan_disc_loss_floor,
+                r1_gamma=train_config.gan_r1_gamma)
             self._disc_state = None
 
             def gan_adapter(state, batch, rng):

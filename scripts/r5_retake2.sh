@@ -23,12 +23,19 @@
 #                                defect: it hands D an edge. r3's stable
 #                                fixed-weight run co-evolved both nets from
 #                                scratch. RESULTS/..._s2_floor06.json.
-#   attempt 5 (this script):     both-fresh co-evolution — NO warmup, NO
-#                                ramp (the clamp alone kills the 41.9x
-#                                explosion that warmup was masking), adaptive
-#                                clamp 1.0, disc floor 1.0 (D frozen as soon
-#                                as it wins on average). Breaker watches RAW
-#                                val PSNR.
+#   attempt 5 (coevo+adaptive):  the game stayed balanced exactly as designed
+#                                (hinge ~2.0, logits ~0) — but the gen
+#                                grad_norm exploded 9.8 -> inf in 600 steps:
+#                                a D-SLOPE arms race (hinge bounds outputs,
+#                                not Lipschitz). RESULTS/..._s2_coevo_adaptive.
+#   attempt 6 (this script):     the reference's own stage-2 recipe — FIXED
+#                                gan_weight 0.05, free D, no adaptive — the
+#                                configuration r3 already held stable for
+#                                13,000 steps (RESULTS/tiny256_gan_stage2),
+#                                now from the 33.4 dB checkpoint. The
+#                                adaptive variant + its R1 slope control
+#                                remain available flags; their saga is on the
+#                                record as 5 negative results.
 set -u
 cd /root/repo
 export PYTHONPATH=/root/repo${PYTHONPATH:+:$PYTHONPATH}
@@ -48,15 +55,15 @@ run 5400 two_stage_s2b python -m deepl_project_tpu.cli.train \
     --variant tiny --data shapes --resolution 256 --batch_size 16 \
     --lr 1e-4 --warmup_steps 0 \
     --l1_weight 1.0 --lpips_weight 1.0 --kl_weight 1e-8 --vf_weight 0.1 \
-    --use_gan --gan_weight 0.05 --freeze_encoder --gan_adaptive_weight \
-    --gan_warmup_steps 0 --gan_ramp_steps 1 --gan_adaptive_max 1.0 \
-    --gan_disc_loss_floor 1.0 --ema_decay 0.999 \
+    --use_gan --gan_weight 0.05 --freeze_encoder \
+    --gan_warmup_steps 0 --gan_ramp_steps 1 \
+    --gan_disc_loss_floor 0 --ema_decay 0.999 \
     --num_epochs 8 --steps_per_epoch 1000 --eval_every_steps 500 \
     --val_batches 8 --save_every_steps 2000 --seed 42 \
     --output_dir runs/two_stage_tiny256_s2b
 python scripts/record_run.py --run_dir runs/two_stage_tiny256_s2b \
     --name two_stage_tiny256_s2_fixed \
-    --note "stage-2 RETAKE (attempt 5): both-fresh co-evolution — NO disc warmup/ramp, adaptive clamp 1.0 (kills the 41.9x explosion attempt 1 hit), disc_loss_floor 1.0 (D freezes as soon as it wins on average; G never faces a D it didn't co-adapt to — the failure of attempts 2-4, where ANY disc head start destabilized G). Same lineage/flags as the collapsed runs otherwise (+gan 0.05 adaptive, frozen encoder, ema 0.999); divergence breaker on raw val PSNR." || true
+    --note "stage-2 RETAKE (attempt 6): the reference's own stage-2 recipe — FIXED gan_weight 0.05 (ref README.md:160-190, configs/transvae_tiny_f16d32.yaml:38-60), frozen encoder, free discriminator, both nets co-evolving from the 33.4 dB stage-1 checkpoint, ema 0.999, divergence breaker on raw val PSNR. This is the configuration r3 held stable for 13,000 steps; the adaptive-weight variant's five measured collapses (unclamped explosion; warmup handoff; mid-ramp D win; frozen-D destabilization; D-slope arms race exploding gen grad_norm 9.8->inf) are each on the record as RESULTS/two_stage_tiny256_s2_*.json negative results, with gan_ramp/clamp/floor/R1 controls shipped as flags." || true
 git add RESULTS/ && git commit -m "RESULTS: stage-2 retake with warmup+ramp+clamp (fix validation)" || true
 
 run 1800 eval_s2b python -m deepl_project_tpu.cli.evaluate \

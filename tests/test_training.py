@@ -785,3 +785,38 @@ def test_disc_loss_floor_freezes_winning_disc(rng):
         lambda a, b: float(jnp.max(jnp.abs(a - b))),
         dvars["params"], disc_after2.params["model"])
     assert max(jax.tree_util.tree_leaves(moved)) > 0
+
+
+def test_r1_gradient_penalty(rng):
+    """r5: R1 slope control on the discriminator. The penalty must (a) add to
+    the disc loss, (b) produce different disc updates, (c) stay finite, and
+    (d) be reported in metrics."""
+    model = micro_model()
+    disc = PatchDiscriminator(base_channels=8, num_layers=2, dtype=jnp.float32)
+    x = jax.random.uniform(rng, (2, 16, 16, 3))
+    mvars = model.init({"params": rng, "sample": rng}, x)
+    dvars = disc.init(rng, x)
+    gen_tx, disc_tx = make_optimizer(1e-3, 0), make_optimizer(1e-3, 0)
+    w = LossWeights(lpips=0.0, kl=0.0, vf=0.0, gan=0.05)
+
+    def run(r1):
+        gen_state = init_train_state(
+            {"model": jax.tree_util.tree_map(jnp.copy, mvars["params"])},
+            gen_tx)
+        disc_state = init_train_state(
+            {"model": jax.tree_util.tree_map(jnp.copy, dvars["params"])},
+            disc_tx)
+        step = make_gan_train_step(model, disc, gen_tx, disc_tx, w,
+                                   r1_gamma=r1)
+        _, d_after, m = step(gen_state, disc_state, x, rng)
+        return d_after, m
+
+    d0, m0 = run(0.0)
+    d1, m1 = run(10.0)
+    assert "disc_r1" not in m0
+    assert float(m1["disc_r1"]) > 0
+    assert np.isfinite(float(m1["disc_loss"]))
+    diff = jax.tree_util.tree_map(
+        lambda a, b: float(jnp.max(jnp.abs(a - b))),
+        d0.params, d1.params)
+    assert max(jax.tree_util.tree_leaves(diff)) > 0  # penalty changed D's step
