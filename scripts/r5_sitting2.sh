@@ -42,7 +42,7 @@ if ! grep -q fid_curve RESULTS/dit_s_tiny256_fid.json 2>/dev/null; then
       --fid_every 500 --fid_samples 128 --save_every 3000 --resume \
       --output_dir runs/dit_s_tiny256 2>&1 | tee runs/dit_fid_r5.log
   python scripts/record_run.py --run_dir runs/dit_s_tiny256 \
-      --name dit_s_tiny256_fid \
+      --name dit_s_tiny256_fid --log runs/dit_fid_r5.log \
       --note "DiT-S/2 rectified flow on two_stage_tiny256 stage-1 latents (shapes, unconditional); vgg_gen_fid every 500 steps, 128 samples, 50 Euler steps. Resumed from the best/2000 checkpoint after the r4 cut at 2300; fid_curve covers the full 3000-step protocol." || true
   commit_results "RESULTS: DiT-S/2 generation-FID trajectory completed to 3000 steps with full fid_curve"
   probe
@@ -68,7 +68,7 @@ fi
 if ! have RESULTS/bench_bf16_params_r5.json; then
   run 2400 bench_bf16 bash -c "BENCH_PARAM_DTYPE=bfloat16 BENCH_QUANT=0 \
       python bench.py 2>&1 | tee runs/bench_bf16_r5.log"
-  python scripts/record_run.py --name bench_bf16_params_r5 \
+  python scripts/record_run.py --name bench_bf16_params_r5 --log runs/bench_bf16_r5.log \
       --json "$(grep -o '{.*}' runs/bench_bf16_r5.log | tail -1)" \
       --note "bf16-params bench A/B recapture with committed provenance (VERDICT r4 weak #4: the r4 50.4 img/s number survived only in a script-header comment). Headline stays fp32 params; see PERFORMANCE.md bf16-params A/B." || true
   commit_results "RESULTS: bf16-params bench A/B recaptured with committed log"
@@ -88,7 +88,7 @@ if ! have RESULTS/ema_ab_constlr.json; then
       --val_batches 8 --save_every_steps 2000 --seed 42 \
       --output_dir runs/ema_ab_constlr 2>&1 | tee runs/ema_ab_constlr.log
   python scripts/record_run.py --run_dir runs/ema_ab_constlr \
-      --name ema_ab_constlr \
+      --name ema_ab_constlr --log runs/ema_ab_constlr.log \
       --note "EMA A/B leg 2: IDENTICAL recipe to the r4 stage-1 run (RESULTS/two_stage_tiny256_s1.json) except lr_schedule=constant — the regime where r3 saw a 2.6 dB end-of-run val-PSNR dip. Question: does the EMA shadow smooth the dip and beat raw-param best-selection? Compare val_curve psnr vs psnr_ema here and in the cosine leg." || true
   python scripts/record_ema_ab.py || true
   commit_results "RESULTS: EMA A/B constant-LR leg + selection-default decision"

@@ -106,6 +106,10 @@ def main() -> None:
     p.add_argument("--json", default=None,
                    help="ad-hoc measurement payload (JSON object)")
     p.add_argument("--note", default="")
+    p.add_argument("--log", default=None,
+                   help="raw run log; its tail is embedded in the record "
+                        "(measured-claim provenance, VERDICT r4 weak #4)")
+    p.add_argument("--log_tail_lines", type=int, default=40)
     args = p.parse_args()
 
     record: dict = {"name": args.name, "git_rev": git_rev(),
@@ -122,6 +126,10 @@ def main() -> None:
             record["summary"] = summarize_history(rows)
     if args.json:
         record["measurement"] = json.loads(args.json)
+    if args.log and os.path.exists(args.log):
+        with open(args.log, errors="replace") as f:
+            lines = [l.rstrip("\n") for l in f if "WARNING" not in l]
+        record["log_tail"] = lines[-args.log_tail_lines:]
 
     os.makedirs(RESULTS, exist_ok=True)
     out = os.path.join(RESULTS, f"{args.name}.json")
