@@ -28,14 +28,17 @@
 #                                grad_norm exploded 9.8 -> inf in 600 steps:
 #                                a D-SLOPE arms race (hinge bounds outputs,
 #                                not Lipschitz). RESULTS/..._s2_coevo_adaptive.
-#   attempt 6 (this script):     the reference's own stage-2 recipe — FIXED
-#                                gan_weight 0.05, free D, no adaptive — the
-#                                configuration r3 already held stable for
-#                                13,000 steps (RESULTS/tiny256_gan_stage2),
-#                                now from the 33.4 dB checkpoint. The
-#                                adaptive variant + its R1 slope control
-#                                remain available flags; their saga is on the
-#                                record as 5 negative results.
+#   attempt 6 (fixed, no R1):    the reference's exact recipe (r3-stable for
+#                                13k steps from a 27.9 dB ckpt) ALSO explodes
+#                                from the 33.4 dB ckpt — same slope-race
+#                                signature (gn 32 -> inf in 300 steps). A
+#                                better G forces D to sharpen its boundary;
+#                                the race is a property of the lineage.
+#                                RESULTS/..._s2_fixed_nor1.json.
+#   attempt 7 (this script):     fixed weight + R1 gradient penalty gamma=10
+#                                (bounds D's slope directly — the quantity
+#                                every prior collapse rode) + floor 0.6 as
+#                                the second line of defense.
 set -u
 cd /root/repo
 export PYTHONPATH=/root/repo${PYTHONPATH:+:$PYTHONPATH}
@@ -57,13 +60,13 @@ run 5400 two_stage_s2b python -m deepl_project_tpu.cli.train \
     --l1_weight 1.0 --lpips_weight 1.0 --kl_weight 1e-8 --vf_weight 0.1 \
     --use_gan --gan_weight 0.05 --freeze_encoder \
     --gan_warmup_steps 0 --gan_ramp_steps 1 \
-    --gan_disc_loss_floor 0 --ema_decay 0.999 \
+    --gan_disc_loss_floor 0.6 --gan_r1_gamma 10 --ema_decay 0.999 \
     --num_epochs 8 --steps_per_epoch 1000 --eval_every_steps 500 \
     --val_batches 8 --save_every_steps 2000 --seed 42 \
     --output_dir runs/two_stage_tiny256_s2b
 python scripts/record_run.py --run_dir runs/two_stage_tiny256_s2b \
     --name two_stage_tiny256_s2_fixed \
-    --note "stage-2 RETAKE (attempt 6): the reference's own stage-2 recipe — FIXED gan_weight 0.05 (ref README.md:160-190, configs/transvae_tiny_f16d32.yaml:38-60), frozen encoder, free discriminator, both nets co-evolving from the 33.4 dB stage-1 checkpoint, ema 0.999, divergence breaker on raw val PSNR. This is the configuration r3 held stable for 13,000 steps; the adaptive-weight variant's five measured collapses (unclamped explosion; warmup handoff; mid-ramp D win; frozen-D destabilization; D-slope arms race exploding gen grad_norm 9.8->inf) are each on the record as RESULTS/two_stage_tiny256_s2_*.json negative results, with gan_ramp/clamp/floor/R1 controls shipped as flags." || true
+    --note "stage-2 RETAKE (attempt 7): the reference's stage-2 recipe (FIXED gan_weight 0.05, frozen encoder, co-evolution; ref README.md:160-190) + R1 gradient penalty gamma=10 on the discriminator + disc_loss_floor 0.6, from the 33.4 dB stage-1 checkpoint, ema 0.999, divergence breaker on raw val PSNR. Six prior attempts across every schedule-side control collapsed with the same measured signature — gen grad_norm exploding through the discriminator's growing slope (hinge bounds D's outputs, not its Lipschitz constant) — recorded as RESULTS/two_stage_tiny256_s2_*.json negative results. R1 bounds the slope itself." || true
 git add RESULTS/ && git commit -m "RESULTS: stage-2 retake with warmup+ramp+clamp (fix validation)" || true
 
 run 1800 eval_s2b python -m deepl_project_tpu.cli.evaluate \
