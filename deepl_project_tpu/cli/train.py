@@ -110,10 +110,12 @@ def build_parser() -> argparse.ArgumentParser:
                         "below this floor — the 'don't let D win' control "
                         "(hinge: ~2.0 untrained, 0.0 = perfect separation; "
                         "0 disables)")
-    p.add_argument("--gan_r1_gamma", type=float, default=0.0,
+    p.add_argument("--gan_r1_gamma", type=float, default=10.0,
                    help="R1 gradient penalty on the discriminator "
                         "(StyleGAN slope control; bounds dD/dx, which the "
-                        "hinge loss does not; 0 disables)")
+                        "hinge loss does not — every measured un-penalized "
+                        "stage-2 run collapsed via a D-slope arms race; "
+                        "0 disables)")
     p.add_argument("--divergence_halt_db", type=float, default=5.0,
                    help="halt when selection PSNR sits this many dB below "
                         "the run's best for --divergence_patience consecutive "

@@ -104,10 +104,14 @@ class TrainerConfig:
     # Hinge loss: ~2.0 untrained, 0.0 at perfect separation.
     gan_disc_loss_floor: float = 0.6
     # R1 gradient penalty on the discriminator (StyleGAN slope control;
-    # 0 = off). Bounds ∂D/∂x — the hinge loss bounds outputs, not slope, and
-    # attempt 5 measured a D-slope arms race exploding the generator's
-    # grad_norm 9.8 -> inf while the game's outputs stayed balanced.
-    gan_r1_gamma: float = 0.0
+    # 0 = off). Bounds ∂D/∂x — the hinge loss bounds outputs, not slope.
+    # DEFAULT ON at 10: six r4/r5 stage-2 runs without it collapsed with the
+    # same measured signature (gen grad_norm exploding through D's growing
+    # Lipschitz constant, e.g. 9.8 -> inf in 600 steps while the game's
+    # outputs stayed balanced); the attempt-7 run with gamma=10 held l1 and
+    # val PSNR at stage-1 levels through the same window. See PERFORMANCE.md
+    # "GAN stage-2".
+    gan_r1_gamma: float = 10.0
     # 'constant' (reference recipe: warmup then flat) or 'cosine' (warmup
     # then cosine decay over num_epochs*steps_per_epoch — the r3 val-PSNR
     # dip A/B lever).
