@@ -47,7 +47,7 @@ def main():
                              vmem_limit_mb=100)))
         for name, fn in rows:
             try:
-                dt, _ = _timed(fn, q, k, v, iters=20)
+                dt = _timed(fn, q, k, v, iters=20)[0]
                 print(f"  {name:20s} {dt*1e3:8.2f} ms  "
                       f"{flops/dt/1e12:6.1f} TF/s", flush=True)
             except Exception as e:  # noqa: BLE001
