@@ -117,6 +117,11 @@ def make_self_perceptual(model, frozen_params) -> Callable:
 
     Returns fn(recon_img01, target01) -> [B] distances.
     """
+    # Remat the feature forward: the recon-side backward re-traverses the
+    # frozen encoder, and storing its full activations alongside the main
+    # model's OOMs a 16 GB chip at 256px b16 (measured r5); recomputing them
+    # costs one extra encoder forward instead.
+    @jax.checkpoint
     def feats(x):
         mu, _ = model.apply({"params": frozen_params}, x, method="encode")
         f = mu.astype(jnp.float32)
